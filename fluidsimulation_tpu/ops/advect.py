@@ -1,0 +1,32 @@
+"""Particle advection (RK3, Ralston).
+
+TPU-native equivalent of gpAdvect.hlsl: instead of hardware trilinear
+samplers we interpolate the MAC grids manually with the CPU-oracle semantics
+(core/interp.py), which removes the reference's fixed-point-lerp parity gap
+(Simulation.cpp:569-576, README.md:55).  Stage offsets 0.5*dt and 0.75*dt and
+weights (2/9, 3/9, 4/9) per Simulation3D.cpp:211-221; final position clamp to
+[-0.4/m, 1-0.6/m] per gpAdvect.hlsl:65-67 (equal to the CPU's
+(-0.5+0.1)/m .. 1+(-0.5-0.1)/m clamp).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.interp import interp_mac3_vec
+
+
+def advect_rk3(cfg: SimConfig, u, v, w, pos, dt):
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+
+    def vel_at(p):
+        return interp_mac3_vec(u, v, w, p * m)
+
+    k1 = vel_at(pos)
+    k2 = vel_at(pos + 0.5 * dt * k1)
+    k3 = vel_at(pos + 0.75 * dt * k2)
+    newpos = pos + dt * (
+        (2.0 / 9.0) * k1 + (3.0 / 9.0) * k2 + (4.0 / 9.0) * k3
+    )
+    return jnp.clip(newpos, -0.4 / m, 1.0 - 0.6 / m)

@@ -1,0 +1,27 @@
+"""Hybrid PIC/FLIP particle velocity update (gpUpdateParticleVelocities.hlsl).
+
+u_new = (1-alpha)*u_particle + interp(new_grid) - (1-alpha)*interp(old_grid).
+
+The GPU evaluates two hardware-sampler interpolations; the CPU builds the
+difference grid new - (1-alpha)*old and interpolates once
+(Simulation3D.cpp:144-165).  Interpolation is linear, so both are identical
+in exact arithmetic; we use the single diff-grid interpolation (half the
+gathers).  alpha = clamp(6*dt*nu*cpm^2, 0, 1) (Simulation.cpp:541, Bridson
+pg. 118) is computed in the solver step.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.interp import interp_mac3_vec
+
+
+def flip_update(cfg: SimConfig, pos, vel, u, v, w, old_u, old_v, old_w, alpha):
+    du = u - (1.0 - alpha) * old_u
+    dv = v - (1.0 - alpha) * old_v
+    dw = w - (1.0 - alpha) * old_w
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    diff = interp_mac3_vec(du, dv, dw, pos * m)
+    return (1.0 - alpha) * vel + diff

@@ -1,0 +1,447 @@
+"""Shadertoy-style raytraced water renderer, vectorized over pixels (JAX).
+
+TPU-native equivalent of FX/Render.fx: the fullscreen-triangle pixel shader
+becomes a pure function over (H, W) ray arrays under jit.  Every
+data-dependent loop in the reference (sphere trace, glass bounces) already
+has a fixed worst-case trip count (Render.fx:369/:394/:411/:310); here they
+are ``lax.fori_loop``s with active-lane masking — the same counts: 64-step
+outside march, 128+48 inside march, 8 glass bounce iterations, 2 water
+bounces (traceWater2 -> traceWater1 -> traceWater0).
+
+Deliberately replicated reference quirks (bit-for-bit behavior parity):
+  * the pixel shader discards traceGlass's reflection sum at top level
+    (Render.fx:555-562 overwrites col unconditionally);
+  * traceGlass's inner-box branch always uses the water IOR — its
+    ``phi < 0.0 || true`` test (Render.fx:330) short-circuits, so the map()
+    probe there is dead code and is omitted;
+  * intersectWater's backward march reuses the forward loop counter
+    (``for (int j = 0; i < 48; i++)``, Render.fx:411), so it runs
+    max(0, 48 - i_exit) iterations;
+  * the matte floor is disabled (Render.fx:567 ``|| true``) — misses shade
+    as sky.
+
+Level-set sampling uses manual trilinear interpolation with half-texel
+centers and clamp addressing, matching the reference's sampler state
+(Render.fx:34-40), plus iq's quintic smoothstep warp on the x/z fractional
+coordinates (Render.fx:81-115, README.md:65).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+LARGE = 1.0e5  # Render.fx:61 largeNum
+WALL = 0.02  # glass wall thickness, Render.fx:60
+SPOT = (-0.7, 0.05, 0.5)  # sun direction (normalized below), Render.fx:28
+
+
+def _norm(v, axis=-1, eps=0.0):
+    return v / jnp.sqrt((v * v).sum(axis=axis, keepdims=True) + eps)
+
+
+def _dot(a, b):
+    return (a * b).sum(axis=-1)
+
+
+# -- level-set sampling ------------------------------------------------------
+
+def sample_phi(phi, p):
+    """Texture-style trilinear sample: p in [0,1]^3 normalized coordinates,
+    texel centers at (i+0.5)/n, clamp addressing."""
+    n = jnp.array(phi.shape, jnp.float32)
+    q = jnp.clip(p * n - 0.5, 0.0, n - 1.0)
+    i = jnp.minimum(jnp.floor(q), n - 2.0)
+    f = q - i
+    i = i.astype(jnp.int32)
+    ix, iy, iz = i[..., 0], i[..., 1], i[..., 2]
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    def g(dx, dy, dz):
+        return phi[ix + dx, iy + dy, iz + dz]
+
+    c00 = g(0, 0, 0) * (1 - fx) + g(1, 0, 0) * fx
+    c10 = g(0, 1, 0) * (1 - fx) + g(1, 1, 0) * fx
+    c01 = g(0, 0, 1) * (1 - fx) + g(1, 0, 1) * fx
+    c11 = g(0, 1, 1) * (1 - fx) + g(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def map_dist(phi, p):
+    """Distance to fluid at p in [0,1]^3 (Render.fx:77-116): quintic
+    smoothstep warp on x/z fractions, then a scaled phi sample."""
+    m = jnp.array(phi.shape, jnp.float32)
+    inv_m = 1.0 / m
+    mp = m * p + 0.5
+    i = jnp.floor(mp)
+    f = mp - i
+    fx = f[..., 0]
+    fz = f[..., 2]
+    warp = lambda t: t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+    f = f.at[..., 0].set(warp(fx)).at[..., 2].set(warp(fz))
+    mp = i + f
+    pw = inv_m * (mp - 0.5)
+    return sample_phi(phi, pw) * inv_m[0]
+
+
+# -- geometry ---------------------------------------------------------------
+
+def intersect_aabb(co, ci, bmin, bmax):
+    """Slab test (Render.fx:120-147).  Returns (tm, tM, norm1, norm2);
+    (LARGE, LARGE, ...) on miss."""
+    ci_safe = jnp.where(jnp.abs(ci) < 1e-12, 1e-12, ci)
+    inv = 1.0 / ci_safe
+    t1 = (bmin - co) * inv
+    t2 = (bmax - co) * inv
+    tmin = jnp.minimum(t1, t2)
+    tmax = jnp.maximum(t1, t2)
+    tm = tmin.max(axis=-1)
+    tM = tmax.min(axis=-1)
+    hit = tM >= tm
+
+    n1 = (jnp.sign(tmin - tm[..., None]) + 1.0) * jnp.sign(t1 - t2)
+    n2 = (jnp.sign(tM[..., None] - tmax) + 1.0) * jnp.sign(t2 - t1)
+    tm = jnp.where(hit, tm, LARGE)
+    tM = jnp.where(hit, tM, LARGE)
+    return tm, tM, n1, n2
+
+
+def fresnel_tr(ci, n, n1, n2):
+    """Schlick fresnel + reflection + Snell transmission (Render.fx:154-180).
+    Returns (fresnel_weight, refl_dir, trans_dir); TIR -> weight 1, trans 0."""
+    rf0 = ((n2 - n1) / (n2 + n1)) ** 2
+    cos_i = _dot(n, -ci)
+    fresnel = rf0 + (1.0 - rf0) * (1.0 - cos_i) ** 5
+    refl = 2.0 * cos_i[..., None] * n + ci
+    eta = n1 / n2
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    ksqrt = jnp.sqrt(jnp.maximum(k, 0.0))
+    trans = eta * ci + (eta * cos_i - ksqrt)[..., None] * n
+    trans = jnp.where(tir[..., None], 0.0, trans)
+    weight = jnp.where(tir, 1.0, fresnel)
+    return weight, refl, trans
+
+
+# -- sky --------------------------------------------------------------------
+
+def _hsv2rgb(c):
+    """Render.fx:184-189."""
+    kx = jnp.array([1.0, 2.0 / 3.0, 1.0 / 3.0], jnp.float32)
+    p = jnp.abs(jnp.mod(c[..., 0:1] + kx, 1.0) * 6.0 - 3.0)
+    return c[..., 2:3] * (
+        1.0 + c[..., 1:2] * (jnp.clip(p - 1.0, 0.0, 1.0) - 1.0)
+    )
+
+
+def _sky_grad(h, f_time):
+    """Render.fx:191-212."""
+    r1 = jnp.array([195.0, 43.0, 6.0]) / 255.0
+    r2 = jnp.array([228.0, 132.0, 28.0]) / 255.0
+    bg1 = jnp.array([168.0, 139.0, 83.0]) / 255.0
+    bl2 = jnp.array([96.0, 130.0, 158.0]) / 255.0
+    bl3 = jnp.array([96.0, 130.0, 218.0]) / 255.0
+
+    h = h - h * 0.25 * jnp.sin(f_time)
+    h_ = h[..., None]
+    c = jnp.where(
+        h_ < 0.25,
+        r1 + (r2 - r1) * 4.0 * h_,
+        jnp.where(
+            h_ < 0.5,
+            r2 + (bg1 - r2) * 4.0 * (h_ - 0.25),
+            bg1 + (bl2 - bg1) * 2.0 * (h_ - 0.5),
+        ),
+    )
+    light = 1.0 + 0.25 * jnp.sin(f_time)
+    t = 0.25 + 0.25 * jnp.sin(f_time)
+    return (c + (bl3 - c) * t) * light
+
+
+def sample_environment(d):
+    """Procedural sky + sun (Render.fx:214-248)."""
+    f_time = -1.95
+    spot = _norm(jnp.array(SPOT, jnp.float32))
+    dspot = _dot(d, spot)
+    pos_angle = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0))
+    trav = 0.35 * jnp.cos(jnp.sqrt(jnp.clip(12.3 * pos_angle, 0.0, 100.0)) - 0.8) + 0.65
+    day_v = 0.25 + 0.666 * (0.3 + trav) * (dspot + 1.0) / 2.0
+    day_s = 0.9 - trav / 1.60
+    day_h = 0.61 + (0.65 - 0.61) * d[..., 1]
+    day = _hsv2rgb(jnp.stack([day_h, day_s, day_v], axis=-1))
+    grad_s = _sky_grad(
+        0.75 - 0.75 * dspot * jnp.clip(1.0 - 3.0 * d[..., 1], 0.0, 1.0) * trav,
+        f_time,
+    )
+    grad_f = (grad_s + day) / 2.0
+
+    dist = jnp.sqrt(((spot - d) ** 2).sum(-1)) * 10.0
+    inten = 0.015 / jnp.abs(dist) + 2.0 ** (-jnp.abs(dist * 2.0)) * 0.4
+    sun_c = jnp.array([255.0, 213.0, 73.0]) / 255.0
+    grad_f = grad_f + sun_c * (inten * 8.0)[..., None]
+
+    # Redistribute excess red.
+    over = jnp.maximum(grad_f[..., 0] - 1.0, 0.0)
+    has = grad_f[..., 0] > 1.0
+    add = jnp.stack(
+        [jnp.zeros_like(over), over / 1.5, over / 0.75], axis=-1
+    )
+    grad_f = jnp.where(has[..., None], grad_f + add, grad_f)
+    return jnp.abs(grad_f) ** 0.4545
+
+
+# -- glass ------------------------------------------------------------------
+
+def trace_glass(phi, co, ci):
+    """Render.fx:255-352.  Returns (h_main, prim_co, prim_ci, prim_alpha,
+    refl_sum)."""
+    box_lo = jnp.array([-0.5 - WALL] * 3, jnp.float32)
+    box_hi = jnp.array([0.5 + WALL, 0.5, 0.5 + WALL], jnp.float32)
+    inn_lo = jnp.array([-0.5] * 3, jnp.float32)
+    inn_hi = jnp.array([0.5] * 3, jnp.float32)
+
+    inside = (jnp.abs(co) < 0.51).all(axis=-1)
+    tm_o, tM_o, n1_o, n2_o = intersect_aabb(co, ci, box_lo, box_hi)
+    h_main = jnp.where(inside, tM_o, tm_o)
+    norm1 = jnp.where(inside[..., None], -n2_o, n1_o)
+    miss = h_main >= LARGE
+
+    p_outer = co + ci * h_main[..., None]
+
+    # Open-top special case (Render.fx:287-293).
+    top = (
+        (p_outer[..., 1] > 0.49)
+        & (jnp.abs(p_outer[..., 0]) <= 0.503)
+        & (jnp.abs(p_outer[..., 2]) <= 0.503)
+        & ~miss
+    )
+
+    fres, refl1, trans1 = fresnel_tr(ci, norm1, 1.0, 1.5)
+    refl_sum = fres[..., None] * sample_environment(refl1)
+    inn_weight = 1.0 - fres
+
+    prim_co = jnp.full_like(co, LARGE)
+    prim_ci = jnp.full_like(co, LARGE)
+    prim_alpha = jnp.zeros(co.shape[:-1], jnp.float32)
+    prim_set = jnp.zeros(co.shape[:-1], bool)
+
+    p = p_outer
+    d = trans1
+
+    def body(_, carry):
+        p, d, inn_weight, refl_sum, prim_co, prim_ci, prim_alpha, prim_set = carry
+        tm_i, _, n1_i, _ = intersect_aabb(p, d, inn_lo, inn_hi)
+        h = tm_i
+        use_outer = (h <= 0.01) | (h >= LARGE)
+        _, tM2, _, n2_2 = intersect_aabb(p, d, box_lo, box_hi)
+        h = jnp.where(use_outer, tM2, h)
+        n = jnp.where(use_outer[..., None], -n2_2, n1_i)
+        p = p + d * h[..., None]
+
+        # outer branch: exit to air
+        f_air, refl_air, trans_air = fresnel_tr(d, n, 1.5, 1.0)
+        refl_sum_air = refl_sum + (inn_weight * (1.0 - f_air))[..., None] * sample_environment(trans_air)
+        w_air = inn_weight * f_air
+
+        # inner branch: always water IOR (Render.fx:330 `|| true`)
+        f_wat, refl_wat, trans_wat = fresnel_tr(d, n, 1.5, 1.333)
+        alpha_wat = prim_alpha + inn_weight * (1.0 - f_wat)
+        w_wat = inn_weight * f_wat
+        set_now = (~prim_set) & (alpha_wat > 0.0) & ~use_outer
+        prim_co2 = jnp.where(set_now[..., None], p, prim_co)
+        prim_ci2 = jnp.where(set_now[..., None], trans_wat, prim_ci)
+        prim_set2 = prim_set | set_now
+
+        out = use_outer
+        d = jnp.where(out[..., None], refl_air, refl_wat)
+        inn_weight = jnp.where(out, w_air, w_wat)
+        refl_sum = jnp.where(out[..., None], refl_sum_air, refl_sum)
+        prim_alpha = jnp.where(out, prim_alpha, alpha_wat)
+        return (p, d, inn_weight, refl_sum, prim_co2, prim_ci2, prim_alpha, prim_set2)
+
+    carry = (p, d, inn_weight, refl_sum, prim_co, prim_ci, prim_alpha, prim_set)
+    carry = jax.lax.fori_loop(0, 8, body, carry)
+    _, _, _, refl_sum, prim_co, prim_ci, prim_alpha, _ = carry
+
+    # Apply the special-case and miss overrides.
+    prim_co = jnp.where(top[..., None], p_outer, prim_co)
+    prim_ci = jnp.where(top[..., None], ci, prim_ci)
+    prim_alpha = jnp.where(top, 1.0, prim_alpha)
+    refl_sum = jnp.where(top[..., None], 0.0, refl_sum)
+
+    prim_co = jnp.where(miss[..., None], LARGE, prim_co)
+    prim_ci = jnp.where(miss[..., None], LARGE, prim_ci)
+    prim_alpha = jnp.where(miss, 0.0, prim_alpha)
+    refl_sum = jnp.where(miss[..., None], LARGE, refl_sum)
+    h_main = jnp.where(miss, LARGE, h_main)
+    return h_main, prim_co, prim_ci, prim_alpha, refl_sum
+
+
+# -- water intersection ------------------------------------------------------
+
+def intersect_water(phi, co, ci, max_t):
+    """Render.fx:358-424.  Returns (p_shifted, t)."""
+    inv_m0 = 1.0 / jnp.float32(phi.shape[0])
+    p0 = co + 0.5
+    initial = map_dist(phi, p0)
+    outside = (initial > 0.0) | (p0[..., 1] > 0.9999)
+
+    # --- outside: 64-step sphere trace (Render.fx:369-381)
+    def out_body(_, carry):
+        p, t, done = carry
+        dt = map_dist(phi, p)
+        t2 = t + dt
+        done2 = done | (dt < 0.001) | (t2 >= max_t)
+        p2 = p0 + t2[..., None] * ci
+        t = jnp.where(done, t, t2)
+        p = jnp.where(done[..., None], p, p2)
+        return p, t, done2
+
+    p_o, t_o, _ = jax.lax.fori_loop(
+        0, 64, out_body, (p0, jnp.zeros_like(max_t), jnp.zeros(max_t.shape, bool))
+    )
+    t_o = jnp.minimum(t_o, max_t)
+    p_o = p0 + t_o[..., None] * ci
+
+    # --- inside: 128-step fixed march + 48-i backward trace (Render.fx:391-423)
+    step = inv_m0
+
+    def in_fwd(i, carry):
+        p, t, i_exit, exited, boxed = carry
+        active = ~(exited | boxed)
+        dt = map_dist(phi, p)
+        t2 = t + step
+        exit_now = active & (dt >= 0.0)
+        box_now = active & ~exit_now & (t2 >= max_t)
+        i_exit = jnp.where(exit_now, i, i_exit)
+        p2 = p0 + t2[..., None] * ci
+        # On exit: t advances but p does not (reference break order).
+        t = jnp.where(active, t2, t)
+        p = jnp.where((active & ~exit_now)[..., None], p2, p)
+        return p, t, i_exit, exited | exit_now, boxed | box_now
+
+    init = (
+        p0,
+        jnp.zeros_like(max_t),
+        jnp.full(max_t.shape, 128, jnp.int32),
+        jnp.zeros(max_t.shape, bool),
+        jnp.zeros(max_t.shape, bool),
+    )
+    p_i, t_i, i_exit, exited, boxed = jax.lax.fori_loop(0, 128, in_fwd, init)
+
+    def in_bwd(k, carry):
+        p, t, done = carry
+        active = ((i_exit + k) < 48) & ~done & ~boxed
+        dt = -map_dist(phi, p)
+        t2 = t + dt
+        done2 = done | (active & (dt > -0.001))
+        p2 = p0 + t2[..., None] * ci
+        t = jnp.where(active, t2, t)
+        p = jnp.where((active & ~(dt > -0.001))[..., None], p2, p)
+        return p, t, done2
+
+    p_i, t_i, _ = jax.lax.fori_loop(
+        0, 48, in_bwd, (p_i, t_i, jnp.zeros(max_t.shape, bool))
+    )
+    # Box-exit early return: point exactly at the box edge.
+    p_i = jnp.where(boxed[..., None], p0 + max_t[..., None] * ci, p_i)
+    t_i = jnp.where(boxed, max_t, t_i)
+
+    p = jnp.where(outside[..., None], p_o, p_i)
+    t = jnp.where(outside, t_o, t_i)
+    return p, t
+
+
+def compute_gradient(phi, p):
+    """Forward-difference normal (Render.fx:426-438)."""
+    top = p[..., 1] > 0.999
+    d0 = map_dist(phi, p)
+    e = 0.005
+    ex = jnp.array([e, 0, 0], jnp.float32)
+    ey = jnp.array([0, e, 0], jnp.float32)
+    ez = jnp.array([0, 0, e], jnp.float32)
+    g = jnp.stack(
+        [
+            map_dist(phi, p + ex) - d0,
+            map_dist(phi, p + ey) - d0,
+            map_dist(phi, p + ez) - d0,
+        ],
+        axis=-1,
+    )
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    return jnp.where(top[..., None], up, g)
+
+
+# -- water bounce recursion (unrolled: 2 -> 1 -> 0) -------------------------
+
+def trace_water0(phi, co, ci):
+    """Render.fx:442-447."""
+    _, _, prim_ci, prim_alpha, refl_sum = trace_glass(phi, co, ci)
+    return prim_alpha[..., None] * sample_environment(prim_ci) + refl_sum
+
+
+def _trace_water_level(phi, co, ci, inner):
+    """Shared body of traceWater1/traceWater2 (Render.fx:451-515)."""
+    co = co + 0.001 * ci
+    half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
+    _, max_t, _, _ = intersect_aabb(co, ci, -half, half)
+    p_hit, t_hit = intersect_water(phi, co, ci, max_t)
+    ipoint = p_hit - 0.5
+    missed = t_hit >= max_t
+
+    norm = _norm(compute_gradient(phi, p_hit), eps=1e-20)
+    from_inside = _dot(norm, ci) > 0.0
+    n1 = jnp.where(from_inside, 1.333, 1.000)
+    n2 = jnp.where(from_inside, 1.000, 1.333)
+    norm = jnp.where(from_inside[..., None], -norm, norm)
+    fres, refl, trans = fresnel_tr(ci, norm, n1, n2)
+
+    straight = inner(ipoint, ci)
+    bounced = (
+        fres[..., None] * inner(ipoint, refl)
+        + (1.0 - fres)[..., None] * inner(ipoint, trans)
+    )
+    return jnp.where(missed[..., None], straight, bounced)
+
+
+def trace_water1(phi, co, ci):
+    return _trace_water_level(phi, co, ci, lambda c, d: trace_water0(phi, c, d))
+
+
+def trace_water2(phi, co, ci):
+    return _trace_water_level(phi, co, ci, lambda c, d: trace_water1(phi, c, d))
+
+
+# -- top-level pixel shader --------------------------------------------------
+
+def shade(phi, co, ci):
+    """PS main (Render.fx:518-578) for ray batches."""
+    h, prim_co, prim_ci, _, _ = trace_glass(phi, co, ci)
+    hit = h < LARGE
+    col_water = trace_water2(phi, prim_co, prim_ci)
+    col_sky = sample_environment(ci)
+    col = jnp.where(hit[..., None], col_water, col_sky)
+    return jnp.abs(col) ** 2.2
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int):
+    """Render a (height, width, 3) float32 image from the level set.
+
+    Rays: fragCoord uv mapping per Render.fx:521 + VS:54-55; camera frame
+    from render/camera.py (FOV scaling folded into right/up).
+    """
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    fx, fy = jnp.meshgrid(px, py, indexing="xy")
+    u = -1.0 + 2.0 * fx
+    v = 1.0 - 2.0 * fy
+    ci = _norm(
+        u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd
+    )
+    co = jnp.broadcast_to(cam_pos, ci.shape)
+    return shade(phi, co, ci)
