@@ -1,0 +1,70 @@
+"""Benchmark: sim steps/sec at the north-star config (BASELINE.json).
+
+Config: 900k-particle dam break on a 128^3 grid (the reference demo runs
+953,312 particles at 64^3, README.md:15; BASELINE.json scales the target to
+128^3 with ~900k particles -> 1 particle/cell in the dam-break block =
+1,000,188 particles).  Baseline: the reference's 30 fps end-to-end rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.state import init_state
+from fluidsimulation_tpu.solver.step3d import step_jit
+
+
+def main():
+    grid = 128
+    cfg = SimConfig(
+        nx=grid, ny=grid, nz=grid,
+        cells_per_meter=float(grid),
+        particles_per_cell_axis=1,  # 63*126*126 = 1,000,188 particles
+    )
+    dt = 1.0 / 60.0
+
+    state = init_state(cfg)
+    state = jax.device_put(state)
+
+    def fetch(s):
+        # Under the tunneled TPU platform block_until_ready can return
+        # early; a scalar host transfer guarantees real completion.
+        jax.block_until_ready(s)
+        jax.device_get(s.vel.ravel()[0])
+
+    # Warmup / compile.
+    state = step_jit(state, dt, cfg)
+    fetch(state)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step_jit(state, dt, cfg)
+    fetch(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / elapsed
+    assert np.isfinite(np.asarray(state.vel)).all(), "NaN in benchmark run"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"sim_steps_per_sec_{grid}c_{cfg.num_particles}p",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,136 @@
+"""CLI demo: the TPU equivalent of FluidSimDemo (FluidSimDemo.cpp).
+
+Runs the dam-break simulation and renders raytraced frames.  The reference's
+interactive controls (FluidSimDemo.cpp:7-13) are exposed both as flags and as
+an optional stdin command stream:
+
+  +     double simulation speed  (GPFluidSim::IncreaseSpeed, clamp <= 1)
+  -     halve simulation speed   (GPFluidSim::DecreaseSpeed)
+  0     reset camera view
+  r     reset the simulation
+  o X Y orbit the camera by (X, Y) "pixels" (mouse-drag equivalent)
+  z DY  zoom (right-drag equivalent)
+  q     quit
+
+Frames are written as binary PPM (and the state as .npz on --save-state);
+there is no swapchain on a TPU host.
+
+Usage:
+  python -m fluidsimulation_tpu.app.demo --grid 64 --steps 120 \
+      --render-every 2 --width 800 --height 600 --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+from ..core.config import SimConfig
+from ..core.state import init_state
+from ..render.camera import OrbitCamera
+from ..render.raytrace import render
+from ..solver.step3d import clamp_dt, step_jit
+from ..utils.checkpoint import save_state
+from ..utils.metrics import Meter, check_state
+from ..utils.profiling import profile_step
+
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    """img: (H, W, 3) float in [0, inf) -> 8-bit binary PPM."""
+    arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    h, w, _ = arr.shape
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(arr.tobytes())
+
+
+def _poll_stdin() -> str | None:
+    if not sys.stdin.isatty() and not os.environ.get("FST_DEMO_STDIN"):
+        return None
+    r, _, _ = select.select([sys.stdin], [], [], 0)
+    if r:
+        return sys.stdin.readline().strip()
+    return None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid", type=int, default=64, help="cubic grid size (demo: 64)")
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--dt", type=float, default=1.0 / 60.0, help="frame dt before rate clamp")
+    ap.add_argument("--rate", type=float, default=0.5, help="initial simulation rate (Simulation.h:84)")
+    ap.add_argument("--render-every", type=int, default=0, help="render every k steps (0 = never)")
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--out", type=str, default="out")
+    ap.add_argument("--save-state", action="store_true")
+    ap.add_argument("--profile", action="store_true", help="per-stage timing table each step")
+    ap.add_argument("--ppc", type=int, default=2, help="particles per cell axis")
+    args = ap.parse_args(argv)
+
+    cfg = SimConfig(
+        nx=args.grid, ny=args.grid, nz=args.grid,
+        cells_per_meter=float(args.grid),
+        particles_per_cell_axis=args.ppc,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    print(f"grid {cfg.nx}^3, {cfg.num_particles} particles")
+
+    state = init_state(cfg)
+    cam = OrbitCamera()
+    rate = args.rate
+    meter = Meter(cfg.num_particles)
+
+    for i in range(args.steps):
+        cmd = _poll_stdin()
+        if cmd:
+            if cmd == "+":
+                rate = min(rate * 2.0, 1.0)
+            elif cmd == "-":
+                rate = max(rate / 2.0, np.finfo(np.float32).tiny)
+            elif cmd == "0":
+                cam.reset()
+            elif cmd == "r":
+                state = init_state(cfg)
+            elif cmd == "q":
+                break
+            elif cmd.startswith("o "):
+                _, dx, dy = cmd.split()
+                cam.orbit(float(dx), float(dy))
+            elif cmd.startswith("z "):
+                cam.zoom(float(cmd.split()[1]), args.height)
+
+        dt = clamp_dt(cfg, args.dt, rate)
+        t0 = time.perf_counter()
+        if args.profile:
+            state, prof = profile_step(state, dt, cfg)
+            print(prof.table())
+        else:
+            state = step_jit(state, dt, cfg)
+            state.pos.block_until_ready()
+        meter.tick()
+        step_ms = 1000 * (time.perf_counter() - t0)
+
+        if args.render_every and (i % args.render_every == 0):
+            co, right, up, fwd = cam.frame(args.width, args.height)
+            img = render(state.phi, co, right, up, fwd, args.width, args.height)
+            write_ppm(os.path.join(args.out, f"frame_{i:05d}.ppm"), np.asarray(img))
+
+        if i % 10 == 0:
+            print(f"step {i}: {step_ms:.1f} ms  ({meter.summary()})")
+            if not check_state(state):
+                print("anomaly detected; resetting (reference 'r' behavior)")
+                state = init_state(cfg)
+
+    if args.save_state:
+        save_state(os.path.join(args.out, "final_state.npz"), state, cfg)
+    print(meter.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -102,8 +102,8 @@ def compute_level_set(cfg: SimConfig, pos):
     """
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     r = cfg.particle_radius
-    m = np.array([nx, ny, nz], np.float64)
-    pc = pos * m  # cell-space positions
+    m = np.array([nx, ny, nz], np.float32)
+    pc = (pos * m).astype(np.float32)  # cell-space positions
 
     phi = np.full((nx, ny, nz), np.inf, np.float32)
     closest = np.full((nx, ny, nz), -1, np.int64)
@@ -131,6 +131,12 @@ def compute_level_set(cfg: SimConfig, pos):
     cl_flat = closest.reshape(-1)
     phi_flat[lin[sel]] = d[sel]
     cl_flat[lin[sel]] = idxs[sel]
+
+    # Native fast path (native/oracle.cpp) — identical semantics.
+    from . import native as _native
+
+    if _native.fs3_sweeps(nx, ny, nz, r, pc, phi, closest):
+        return phi, closest
 
     def cls_inner(dx, dy, dz, x, y, z):
         other = closest[x + dx, y + dy, z + dz]

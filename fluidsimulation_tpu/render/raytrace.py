@@ -113,6 +113,8 @@ def intersect_aabb(co, ci, bmin, bmax):
 def fresnel_tr(ci, n, n1, n2):
     """Schlick fresnel + reflection + Snell transmission (Render.fx:154-180).
     Returns (fresnel_weight, refl_dir, trans_dir); TIR -> weight 1, trans 0."""
+    n1 = jnp.asarray(n1, jnp.float32)
+    n2 = jnp.asarray(n2, jnp.float32)
     rf0 = ((n2 - n1) / (n2 + n1)) ** 2
     cos_i = _dot(n, -ci)
     fresnel = rf0 + (1.0 - rf0) * (1.0 - cos_i) ** 5
@@ -121,7 +123,7 @@ def fresnel_tr(ci, n, n1, n2):
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k < 0.0
     ksqrt = jnp.sqrt(jnp.maximum(k, 0.0))
-    trans = eta * ci + (eta * cos_i - ksqrt)[..., None] * n
+    trans = jnp.expand_dims(eta, -1) * ci + (eta * cos_i - ksqrt)[..., None] * n
     trans = jnp.where(tir[..., None], 0.0, trans)
     weight = jnp.where(tir, 1.0, fresnel)
     return weight, refl, trans

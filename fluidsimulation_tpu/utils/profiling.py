@@ -1,0 +1,161 @@
+"""Per-stage profiling: the TPU equivalent of GPUProfiler (GPUProfiler.h:46).
+
+The reference records 23 ordered pipeline marks with double-buffered D3D11
+timestamp queries and prints a per-frame ms table (FluidSimDemo.cpp:211-236).
+Here, profile mode runs each pipeline stage as its own blocked-on computation
+and reports wall-clock per stage under the same mark names; normal mode runs
+the whole fused step (one jit) and reports only totals.  Three of the
+reference's marks (the host prefix-sum COPYMAP/WAIT/UNMAPUPDATE stages,
+Simulation.cpp:660-686, measured at 52 ms/frame) are structurally eliminated
+by the on-device cumsum and always report 0.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import SimState
+
+# Mark names mirror the GPUProfilerMark enum (GPUProfiler.h:16-44).
+MARKS = [
+    "ADVECT",
+    "TRANSFERPTG_CLEARCOUNTS",
+    "TRANSFERPTG_COUNTPARTICLES",
+    "TRANSFERPTG_PREFIXSUM_COPYMAP",   # eliminated (on-device cumsum)
+    "TRANSFERPTG_PREFIXSUM_WAIT",      # eliminated
+    "TRANSFERPTG_PREFIXSUM_UNMAPUPDATE",  # eliminated
+    "TRANSFERPTG_BIN",
+    "TRANSFERPTG_LEVELSET_CLEAR",
+    "TRANSFERPTG_LEVELSET_ZERO",
+    "TRANSFERPTG_LEVELSET_SWEEP",
+    "TRANSFERPTG_VELOCITY",
+    "TRANSFERPTG_VELOCITY_EXTRAPOLATE",
+    "FLIP_COPYVELOCITIES",
+    "BODYFORCES",
+    "PROJECT_RHS",
+    "PROJECT_DIAGCOEFFS",
+    "PROJECT_PCLEAR",
+    "PROJECT_SOR",
+    "PROJECT_TOVELOCITY",
+    "FLIP_APPLY",
+    "BLURLEVELSET",
+    "DRAW",
+    "END_FRAME",
+]
+
+# Short column headers, as in the reference's console table
+# (FluidSimDemo.cpp:211).
+SHORT = [
+    "A", "TCC", "TCP", "TPC", "TPW", "TPU", "TB", "TLC", "TLZ", "TLS",
+    "TV", "TE", "FC", "B", "PR", "PD", "PP", "PS", "PTV", "FCV", "BLS",
+    "D", "EF",
+]
+
+
+def _block(x):
+    """Wait for real completion.  Under the tunneled TPU platform in this
+    environment, block_until_ready can return before the computation
+    finishes; a tiny host transfer from each leaf guarantees completion."""
+    x = jax.block_until_ready(x)
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "ravel"):
+            jax.device_get(leaf.ravel()[0])
+    return x
+
+
+class StageProfiler:
+    """Collects per-stage seconds; DT(mark) mirrors GPUProfiler::DT."""
+
+    def __init__(self):
+        self.times: dict[str, float] = {m: 0.0 for m in MARKS}
+
+    def timed(self, mark: str, fn: Callable, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = _block(fn(*args, **kwargs))
+        self.times[mark] = time.perf_counter() - t0
+        return out
+
+    def DT(self, mark: str) -> float:
+        return self.times.get(mark, 0.0)
+
+    def table(self) -> str:
+        head = "GPU time:\t" + "\t".join(f"{s:<6}" for s in SHORT)
+        vals = "GPU time:\t" + "\t".join(
+            f"{1000.0 * self.times[m]:.2f}ms" for m in MARKS
+        )
+        return head + "\n" + vals
+
+
+def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StageProfiler]:
+    """Run one step stage-by-stage with per-stage timing.
+
+    Stage boundaries follow GPFluidSim::Simulate's TimestampComplete calls
+    (Simulation.cpp:513-566).  Because stages are separately dispatched, the
+    totals here exceed the fused-step time — use for relative attribution,
+    like the reference's RenderDoc captures.
+    """
+    from ..ops import advect, binning, blur, extrapolate, flip, forces, levelset, p2g, project
+
+    prof = StageProfiler()
+    dt = jnp.float32(dt)
+
+    pos = prof.timed(
+        "ADVECT", jax.jit(advect.advect_rk3, static_argnums=0),
+        cfg, state.u, state.v, state.w, state.pos, dt,
+    )
+    counts, start, pos, vel, _ = prof.timed(
+        "TRANSFERPTG_BIN", jax.jit(binning.bin_particles, static_argnums=0),
+        cfg, pos, state.vel,
+    )
+    phi0, cpos0 = prof.timed(
+        "TRANSFERPTG_LEVELSET_ZERO", jax.jit(levelset.seed_closest, static_argnums=0),
+        cfg, pos,
+    )
+    phi, _ = prof.timed(
+        "TRANSFERPTG_LEVELSET_SWEEP", jax.jit(levelset.sweep_closest, static_argnums=0),
+        cfg, phi0, cpos0,
+    )
+    u, v, w, uv, vv, wv = prof.timed(
+        "TRANSFERPTG_VELOCITY", jax.jit(p2g.transfer_to_grid, static_argnums=0),
+        cfg, pos, vel,
+    )
+    ex = jax.jit(extrapolate.extrapolate_one_ring)
+    u = prof.timed("TRANSFERPTG_VELOCITY_EXTRAPOLATE", lambda: (ex(u, uv)))
+    v = _block(ex(v, vv))
+    w = _block(ex(w, wv))
+    old_u, old_v, old_w = u, v, w
+    v = prof.timed(
+        "BODYFORCES", jax.jit(forces.add_gravity, static_argnums=0), cfg, v, dt
+    )
+    b = prof.timed(
+        "PROJECT_RHS", jax.jit(project.compute_rhs, static_argnums=0),
+        cfg, u, v, w, dt,
+    )
+    diag = prof.timed(
+        "PROJECT_DIAGCOEFFS", jax.jit(project.compute_diag, static_argnums=0),
+        cfg, phi,
+    )
+    p = prof.timed(
+        "PROJECT_SOR", jax.jit(project.sor_pressure, static_argnums=0),
+        cfg, phi, diag, b,
+    )
+    u, v, w = prof.timed(
+        "PROJECT_TOVELOCITY", jax.jit(project.apply_pressure, static_argnums=0),
+        cfg, u, v, w, p, phi, dt,
+    )
+    from ..solver.step3d import pic_flip_alpha
+
+    alpha = pic_flip_alpha(cfg, dt)
+    vel = prof.timed(
+        "FLIP_APPLY", jax.jit(flip.flip_update, static_argnums=0),
+        cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+    )
+    phi = prof.timed("BLURLEVELSET", jax.jit(blur.blur_phi), phi)
+
+    new_state = SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi)
+    return new_state, prof

@@ -1,5 +1,9 @@
 """Test configuration: force CPU JAX with 8 virtual devices so sharding
-tests run everywhere; must run before jax initializes."""
+tests run everywhere.
+
+Note: in this environment a TPU platform plugin may override the
+JAX_PLATFORMS env var, so we also force the platform via jax.config (which
+wins as long as the backend is not yet initialized)."""
 
 import os
 
@@ -9,3 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

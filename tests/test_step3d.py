@@ -1,0 +1,119 @@
+"""End-to-end 3D step tests: stability, invariants, and behavioral parity
+with the CPU (FluidSim3) oracle at small grid sizes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.state import SimState, init_state
+from fluidsimulation_tpu.reference.solver3d import FluidSim3Ref, divergence_stats
+from fluidsimulation_tpu.solver.step3d import clamp_dt, pic_flip_alpha, step_jit
+
+CFG = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0)
+
+
+def test_dt_clamp():
+    assert clamp_dt(CFG, 1.0) == pytest.approx(1.0 / 15.0)
+    assert clamp_dt(CFG, 0.01) == pytest.approx(0.01)
+    assert clamp_dt(CFG, -1.0) == 0.0
+    assert clamp_dt(CFG, 0.05, simulation_rate=0.5) == pytest.approx(0.025)
+
+
+def test_alpha_model():
+    # alpha = 6*dt*nu*cpm^2 (Simulation.cpp:541); tiny for water viscosity.
+    a = float(pic_flip_alpha(CFG, 1.0 / 60.0))
+    assert a == pytest.approx(6 * (1 / 60) * CFG.nu * CFG.cells_per_meter**2, rel=1e-5)
+    assert float(pic_flip_alpha(CFG, 1e9)) == 1.0
+
+
+def test_step_runs_and_stays_finite():
+    state = init_state(CFG)
+    dt = 0.01
+    for _ in range(10):
+        state = step_jit(state, dt, CFG)
+    for name in ("pos", "vel", "u", "v", "w", "phi"):
+        arr = np.asarray(getattr(state, name))
+        assert np.isfinite(arr).all(), name
+    # Particles remain in the advection clamp box.
+    pos = np.asarray(state.pos)
+    m = np.array([CFG.nx, CFG.ny, CFG.nz], np.float32)
+    assert (pos >= -0.4 / m - 1e-6).all() and (pos <= 1 - 0.6 / m + 1e-6).all()
+    # Fluid has fallen: some downward velocity appeared at some point, and
+    # the particle cloud's center of mass moved down vs the seeded state.
+    assert np.asarray(state.pos)[:, 1].mean() < np.asarray(init_state(CFG).pos)[:, 1].mean()
+
+
+def test_step_divergence_free():
+    """Post-projection divergence invariant on the stepped state
+    (PrintDivergence, Simulation3D.cpp:1095)."""
+    state = init_state(CFG)
+    state = step_jit(state, 0.01, CFG)
+    # phi in the state is blurred (render-only); recompute the sharp phi used
+    # by the projection via the level-set op to evaluate the invariant.
+    from fluidsimulation_tpu.ops.levelset import compute_level_set
+
+    phi, _ = compute_level_set(CFG, state.pos)
+    l2, mx, _ = divergence_stats(
+        CFG, np.asarray(state.u), np.asarray(state.v), np.asarray(state.w), np.asarray(phi)
+    )
+    assert mx < 5e-4, (l2, mx)
+
+
+def test_step_matches_cpu_oracle_one_step():
+    """One full step vs the FluidSim3 oracle from a noise-grid state.
+
+    Documented divergences (SURVEY.md §3.4) bound the tolerance: level-set
+    sweep style (GPU 24-sweep vs CPU 8 triple-sweeps) and extrapolation
+    (one-ring vs full BFS) differ in the *air*; particle state lives in the
+    fluid, where parity must be tight.
+    """
+    dt = 0.01
+    ref = FluidSim3Ref(CFG, gpu_style_init=False)
+    state = SimState(
+        pos=ref.pos.copy(),
+        vel=ref.vel.copy(),
+        u=ref.u.copy(),
+        v=ref.v.copy(),
+        w=ref.w.copy(),
+        phi=np.full(CFG.grid_shape(), np.inf, np.float32),
+    )
+    ref.simulate(dt)
+    out = step_jit(state, dt, CFG, bin_first=False)
+
+    np.testing.assert_allclose(np.asarray(out.pos), ref.pos, atol=2e-5)
+
+    dv = np.abs(np.asarray(out.vel) - ref.vel)
+    # Velocities at particles: the reference's own CPU<->GPU parity was
+    # 2.5e-3 absolute after 100 SOR iterations (Simulation.cpp:899-900);
+    # our f32-vs-f64 SOR plus extrapolation-style differences land in the
+    # same regime.  Median tight, interface tail bounded.
+    assert np.quantile(dv, 0.5) < 1e-3, np.quantile(dv, [0.5, 0.95, 1.0])
+    assert np.quantile(dv, 0.95) < 6e-3
+    assert dv.max() < 0.25
+
+
+def test_bin_first_invariance():
+    """Binning permutes particles; grid results must be identical up to
+    reassociation, and the particle *set* must be preserved."""
+    state = init_state(CFG)
+    a = step_jit(state, 0.01, CFG, bin_first=True)
+    b = step_jit(state, 0.01, CFG, bin_first=False)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi), atol=1e-4)
+    # Same multiset of particle positions.
+    pa = np.sort(np.asarray(a.pos).view("f4").reshape(-1, 3), axis=0)
+    pb = np.sort(np.asarray(b.pos).view("f4").reshape(-1, 3), axis=0)
+    np.testing.assert_allclose(pa, pb, atol=1e-6)
+
+
+def test_jit_single_compilation_whole_step():
+    """The whole timestep is one jit-compiled computation (SURVEY.md §7
+    design stance: 'whole timestep fused under one jit')."""
+    state = init_state(CFG)
+    lowered = jax.jit(
+        lambda s, dt: step_jit.__wrapped__(s, dt, CFG, True)
+    ).lower(state, 0.01)
+    assert lowered.compile() is not None
