@@ -15,13 +15,25 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.interp import interp_mac3_vec
+from ..core.interp_packed import interp_mac3_packed_vec, pack_mac3
 
 
-def advect_rk3(cfg: SimConfig, u, v, w, pos, dt):
+def advect_rk3(cfg: SimConfig, u, v, w, pos, dt, packed: bool = True):
     m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
 
-    def vel_at(p):
-        return interp_mac3_vec(u, v, w, p * m)
+    if packed:
+        # TPU fast path: pack the grids once, reuse across the 3 RK stages
+        # (core/interp_packed.py — one row gather per component per stage).
+        pu, pv, pw = pack_mac3(u, v, w)
+        dims = (cfg.nx, cfg.ny, cfg.nz)
+
+        def vel_at(p):
+            return interp_mac3_packed_vec(pu, pv, pw, dims, p * m)
+
+    else:
+
+        def vel_at(p):
+            return interp_mac3_vec(u, v, w, p * m)
 
     k1 = vel_at(pos)
     k2 = vel_at(pos + 0.5 * dt * k1)

@@ -1,0 +1,316 @@
+"""Dense per-cell particle table — the TPU-native replacement for the
+reference's binned-particle indirection.
+
+The reference's GPU pipeline bins particles (count + prefix sum + scatter)
+and then *iterates variable-length per-cell particle lists* inside its
+seeding/P2G kernels (gpParticleIndexing.hlsli, gpComputeClosestParticle-
+Neighbors.hlsl, gpTransferParticleVelocities*.hlsl).  Dynamic-length lists
+are hostile to TPU vectorization, and measured XLA gathers/scatters cost
+~8 ns per element — the binned-list formulation is transaction-bound.
+
+Instead we build a dense (nx, ny, nz, K, 8) table: up to K particles per
+cell, stored as [pos(3), vel(3), present(1), pad].  Building it costs one
+key argsort + two bounded scatters; every consumer (level-set seeding, P2G
+transfer) then becomes pure shifted-window arithmetic over dense arrays —
+zero gathers, zero scatters, full VPU utilization.
+
+Slot order within a cell is original-particle-index order (stable argsort),
+which reproduces the reference's first-wins tie-breaks.  Cells holding more
+than K particles overflow: overflow particles are counted (``n_overflow``)
+and their *indices* captured (up to ``overflow_cap``) so callers can apply
+an exact fallback; with the default K = 2*ppc^3 + 4 overflow is empty in
+practice (the dam break seeds ppc^3 per cell).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from .common import cell_of
+
+
+def default_k(cfg: SimConfig) -> int:
+    return 2 * cfg.particles_per_cell_axis**3 + 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CellTable:
+    """slots: (nx, ny, nz, K, 8) f32 rows [px,py,pz, vx,vy,vz, present, 0]
+    with positions in *cell units*; n_overflow: scalar int32; overflow_idx:
+    (overflow_cap,) int32 particle indices (== N where unused)."""
+
+    slots: Any
+    n_overflow: Any
+    overflow_idx: Any
+
+
+def build_cell_table(
+    cfg: SimConfig, pos, vel, k: int | None = None, overflow_cap: int = 4096
+) -> CellTable:
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    K = default_k(cfg) if k is None else k
+    n = pos.shape[0]
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    pc = pos * m
+    cell = cell_of(pc)
+    lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+
+    # Rank of each particle within its cell, in original index order:
+    # stable-argsort the keys, compute run ranks, scatter back.
+    perm = jnp.argsort(lin, stable=True)
+    lin_s = lin[perm]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    changes = jnp.concatenate(
+        [jnp.ones(1, bool), lin_s[1:] != lin_s[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(changes, idx, 0)
+    )
+    rank_s = idx - run_start
+    rank = jnp.zeros(n, jnp.int32).at[perm].set(rank_s, unique_indices=True)
+
+    in_tab = rank < K
+    ncells = nx * ny * nz
+    slot = jnp.where(in_tab, lin * K + rank, ncells * K)  # OOB -> dropped
+
+    payload = jnp.concatenate(
+        [
+            pc,
+            vel,
+            jnp.ones((n, 1), jnp.float32),
+            jnp.zeros((n, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    slots = (
+        jnp.zeros((ncells * K, 8), jnp.float32)
+        .at[slot]
+        .set(payload, mode="drop", unique_indices=True)
+        .reshape(nx, ny, nz, K, 8)
+    )
+
+    n_overflow = (~in_tab).sum().astype(jnp.int32)
+    ov = jnp.where(~in_tab, idx, n)
+    # Smallest overflow_cap indices (== n where none): top_k on negated.
+    overflow_idx = -jax.lax.top_k(-ov, min(overflow_cap, n))[0]
+    return CellTable(slots=slots, n_overflow=n_overflow, overflow_idx=overflow_idx)
+
+
+def counts_from_table(table: CellTable):
+    """Per-cell particle histogram (the reference's m_gpCounts grid,
+    gpCountParticles.hlsl) — table-present + overflow not included."""
+    return table.slots[..., 6].sum(axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Level-set seeding from the table (replaces scatter-min + index gathers).
+# ---------------------------------------------------------------------------
+
+def seed_closest_from_table(cfg: SimConfig, table: CellTable, far: float):
+    """Own-cell best candidate per cell: (phi0, cpos0) as in
+    ops/levelset.seed_closest's first stage.  First-present slot wins ties
+    (slot order == original index order == reference first-wins)."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    r = jnp.float32(cfg.particle_radius)
+    slots = table.slots
+    pcs = slots[..., 0:3]
+    present = slots[..., 6] > 0.0
+
+    xg = jnp.arange(nx, dtype=jnp.float32)[:, None, None, None]
+    yg = jnp.arange(ny, dtype=jnp.float32)[None, :, None, None]
+    zg = jnp.arange(nz, dtype=jnp.float32)[None, None, :, None]
+    dx = pcs[..., 0] - xg
+    dy = pcs[..., 1] - yg
+    dz = pcs[..., 2] - zg
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - r
+    d = jnp.where(present, d, jnp.inf)
+
+    best = jnp.min(d, axis=-1)
+    # First slot achieving the min (ties -> smallest original index).
+    is_best = d == best[..., None]
+    K = d.shape[-1]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, 3)
+    first = jnp.min(jnp.where(is_best, slot_ids, K), axis=-1)
+    first_c = jnp.clip(first, 0, K - 1)
+    cpos0 = jnp.take_along_axis(
+        pcs, first_c[..., None, None], axis=3
+    ).squeeze(3)
+    seeded = jnp.isfinite(best)
+    phi0 = jnp.where(seeded, best, jnp.inf)
+    cpos0 = jnp.where(seeded[..., None], cpos0, far)
+    return phi0, cpos0
+
+
+# ---------------------------------------------------------------------------
+# P2G transfer from the table (replaces 48M-element scatter-adds).
+# ---------------------------------------------------------------------------
+
+def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None):
+    """Gather-free P2G: every MAC face accumulates hat-weighted velocity
+    from the 18 neighbor cells' table slots (the GPU kernels' neighborhood,
+    gpTransferParticleVelocitiesU.hlsl:36-59) as dense shifted-window sums.
+
+    If (pos, vel) are given, contributions of overflow particles (those
+    beyond slot K, captured in table.overflow_idx) are added exactly via a
+    small bounded scatter, so the result matches ops/p2g.transfer_to_grid
+    up to summation order whenever n_overflow <= overflow_cap.
+
+    Returns (u, v, w, u_valid, v_valid, w_valid).
+    """
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    slots = table.slots
+    padded = jnp.pad(slots, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+
+    def component(comp_axis: int, shape):
+        # Face sample position: staggered axis offset by -0.5.
+        coords = []
+        for ax, n_face in enumerate(shape):
+            c = jnp.arange(n_face, dtype=jnp.float32)
+            if ax == comp_axis:
+                c = c - 0.5
+            sh = [1, 1, 1]
+            sh[ax] = n_face
+            coords.append(c.reshape(sh))
+
+        acc = jnp.zeros(shape, jnp.float32)
+        amt = jnp.zeros(shape, jnp.float32)
+        offs_axis = (-1, 0)
+        offs_other = (-1, 0, 1)
+        rng = [
+            offs_axis if ax == comp_axis else offs_other for ax in range(3)
+        ]
+        for ox in rng[0]:
+            for oy in rng[1]:
+                for oz in rng[2]:
+                    # Neighbor cell index = face index + (ox, oy, oz);
+                    # face index ranges over `shape` (staggered axis has one
+                    # extra face), cells come from the zero-padded table.
+                    win = padded[
+                        1 + ox : 1 + ox + shape[0],
+                        1 + oy : 1 + oy + shape[1],
+                        1 + oz : 1 + oz + shape[2],
+                    ]
+                    p = win[..., 0:3]
+                    velc = win[..., 3 + comp_axis]
+                    present = win[..., 6]
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., 0] - coords[0][..., None]))
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., 1] - coords[1][..., None]))
+                    wz = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., 2] - coords[2][..., None]))
+                    wgt = wx * wy * wz * present
+                    acc = acc + (wgt * velc).sum(-1)
+                    amt = amt + wgt.sum(-1)
+
+        if pos is not None:
+            acc, amt = _overflow_scatter(
+                cfg, table, pos, vel, comp_axis, shape, acc, amt
+            )
+
+        g = acc / jnp.maximum(amt, jnp.float32(1e-30))
+        valid = amt > cfg.zero_thresh
+        sl = [slice(None)] * 3
+        for edge in (0, (nx, ny, nz)[comp_axis]):
+            s2 = list(sl)
+            s2[comp_axis] = edge
+            g = g.at[tuple(s2)].set(0.0)
+            valid = valid.at[tuple(s2)].set(True)
+        return g, valid
+
+    u, uv = component(0, (nx + 1, ny, nz))
+    v, vv = component(1, (nx, ny + 1, nz))
+    w, wv = component(2, (nx, ny, nz + 1))
+    return u, v, w, uv, vv, wv
+
+
+def _overflow_scatter(cfg, table, pos, vel, comp_axis, shape, acc, amt):
+    """Exact scatter-add of overflow particles' hat contributions (bounded
+    by overflow_cap, so it is cheap and always on)."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    n = pos.shape[0]
+    ov = table.overflow_idx
+    live = ov < n
+    safe = jnp.where(live, ov, 0)
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    p = pos[safe] * m
+    pv = vel[safe, comp_axis]
+
+    base = []
+    alpha = []
+    for ax in range(3):
+        c = p[:, ax] + (0.5 if ax == comp_axis else 0.0)
+        b = jnp.floor(c)
+        base.append(b.astype(jnp.int32))
+        alpha.append(c - b)
+    dims = (nx, ny, nz)
+    lin_all, w_all = [], []
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                offs = (ox, oy, oz)
+                idx = [base[ax] + offs[ax] for ax in range(3)]
+                ok = live
+                for ax in range(3):
+                    hi = dims[ax] + (1 if ax == comp_axis else 0)
+                    ok = ok & (idx[ax] >= 0) & (idx[ax] < hi)
+                wgt = jnp.ones_like(pv)
+                for ax in range(3):
+                    a = alpha[ax]
+                    wgt = wgt * (a if offs[ax] > 0 else 1.0 - a)
+                lin = (idx[0] * shape[1] + idx[1]) * shape[2] + idx[2]
+                lin_all.append(jnp.where(ok, lin, 0))
+                w_all.append(jnp.where(ok, wgt, 0.0))
+    lin = jnp.concatenate(lin_all)
+    wgt = jnp.concatenate(w_all)
+    vals = jnp.concatenate([wi * pv for wi in w_all])
+    acc = acc.reshape(-1).at[lin].add(vals).reshape(shape)
+    amt = amt.reshape(-1).at[lin].add(wgt).reshape(shape)
+    return acc, amt
+
+
+def seed_overflow_correction(cfg: SimConfig, table: CellTable, pos, phi0, cpos0):
+    """Fold overflow particles into the own-cell seeding result (exact,
+    first-wins tie-breaks preserved: in-table particles have smaller
+    indices, and strict improvement is required to replace)."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    r = jnp.float32(cfg.particle_radius)
+    n = pos.shape[0]
+    ov = table.overflow_idx
+    live = ov < n
+    safe = jnp.where(live, ov, 0)
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    pc = pos[safe] * m
+    cell = cell_of(pc)
+    lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+    d = jnp.sqrt(((pc - cell.astype(jnp.float32)) ** 2).sum(-1)) - r
+    d = jnp.where(live, d, jnp.inf)
+
+    phi_flat = phi0.reshape(-1)
+    best = phi_flat.at[lin].min(d)
+    # Among overflow winners, pick the smallest particle index.
+    improved = best < phi_flat
+    is_winner = (d == best[lin]) & live
+    big = jnp.int32(2**31 - 1)
+    win = (
+        jnp.full(phi_flat.shape, big, jnp.int32)
+        .at[lin]
+        .min(jnp.where(is_winner, ov, big))
+    )
+    has_win = improved & (win != big)
+    # Winner positions via a bounded scatter from the overflow rows (a dense
+    # gather over all cells would cost more than the whole correction).
+    winner_row = is_winner & (ov == win[lin])
+    ncells = phi_flat.shape[0]
+    tgt = jnp.where(winner_row & improved[lin], lin, ncells)
+    win_pos = (
+        jnp.zeros((ncells + 1, 3), jnp.float32).at[tgt].set(pc, mode="drop")
+    )[:ncells]
+    phi_new = jnp.where(has_win, best, phi_flat).reshape(phi0.shape)
+    cpos_new = jnp.where(
+        has_win[:, None], win_pos, cpos0.reshape(-1, 3)
+    ).reshape(cpos0.shape)
+    return phi_new, cpos_new

@@ -16,12 +16,22 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.interp import interp_mac3_vec
+from ..core.interp_packed import interp_mac3_packed_vec, pack_mac3
 
 
-def flip_update(cfg: SimConfig, pos, vel, u, v, w, old_u, old_v, old_w, alpha):
+def flip_update(
+    cfg: SimConfig, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+    packed: bool = True,
+):
     du = u - (1.0 - alpha) * old_u
     dv = v - (1.0 - alpha) * old_v
     dw = w - (1.0 - alpha) * old_w
     m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
-    diff = interp_mac3_vec(du, dv, dw, pos * m)
+    if packed:
+        pu, pv, pw = pack_mac3(du, dv, dw)
+        diff = interp_mac3_packed_vec(
+            pu, pv, pw, (cfg.nx, cfg.ny, cfg.nz), pos * m
+        )
+    else:
+        diff = interp_mac3_vec(du, dv, dw, pos * m)
     return (1.0 - alpha) * vel + diff

@@ -73,9 +73,15 @@ def seed_closest(cfg: SimConfig, pos):
     phi0 = jnp.where(seeded, best_d, jnp.inf).reshape(nz, ny, nx).transpose(2, 1, 0)
     # note: lin is x-fastest; reshape accordingly
     cpos0 = cpos0.reshape(nz, ny, nx, 3).transpose(2, 1, 0, 3)
+    return neighborhood_pass(cfg, cpos0)
 
-    # 27-neighborhood pass (gpComputeClosestParticleNeighbors.hlsl:89-109):
-    # each cell considers every neighbor cell's candidate.
+
+def neighborhood_pass(cfg: SimConfig, cpos0):
+    """27-neighborhood candidate pass
+    (gpComputeClosestParticleNeighbors.hlsl:89-109): each cell considers
+    every neighbor cell's own-cell best candidate."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    r = jnp.float32(cfg.particle_radius)
     xg = jnp.arange(nx, dtype=jnp.float32)[:, None, None]
     yg = jnp.arange(ny, dtype=jnp.float32)[None, :, None]
     zg = jnp.arange(nz, dtype=jnp.float32)[None, None, :]

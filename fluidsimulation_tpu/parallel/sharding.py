@@ -53,11 +53,11 @@ def state_shardings(mesh: Mesh) -> SimState:
     )
 
 
-def make_sharded_step(cfg: SimConfig, mesh: Mesh, bin_first: bool = True):
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, fast: bool = True):
     """Returns a jitted step(state, dt) with sharded inputs/outputs."""
     sh = state_shardings(mesh)
     return jax.jit(
-        functools.partial(step, cfg=cfg, bin_first=bin_first),
+        functools.partial(step, cfg=cfg, fast=fast),
         in_shardings=(sh, None),
         out_shardings=sh,
     )

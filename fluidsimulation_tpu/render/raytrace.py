@@ -427,7 +427,12 @@ def shade(phi, co, ci):
     col_water = trace_water2(phi, prim_co, prim_ci)
     col_sky = sample_environment(ci)
     col = jnp.where(hit[..., None], col_water, col_sky)
-    return jnp.abs(col) ** 2.2
+    out = jnp.abs(col) ** 2.2
+    # The reference feeds unset primary rays (largeNum sentinels) through the
+    # water tracer when every glass bounce is TIR (Render.fx:341-344 never
+    # fires) and displays the resulting f32 garbage on those rare pixels.  A
+    # tensor API shouldn't return inf/nan, so bound them instead.
+    return jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))

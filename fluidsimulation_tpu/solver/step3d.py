@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from ..core.config import SimConfig
 from ..core.state import SimState
 from ..ops.advect import advect_rk3
-from ..ops.binning import bin_particles
 from ..ops.blur import blur_phi
 from ..ops.extrapolate import extrapolate_one_ring
 from ..ops.flip import flip_update
@@ -41,23 +40,41 @@ def pic_flip_alpha(cfg: SimConfig, dt):
     )
 
 
-def step(state: SimState, dt, cfg: SimConfig, bin_first: bool = True) -> SimState:
+def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     """Advance the simulation by one (already clamped) dt.
 
-    dt may be a traced scalar; cfg must be static.  ``bin_first`` sorts
-    particles by cell before the scatter stages (counting sort, replacing the
-    reference's count/prefix-sum/bin pipeline); the sorted order improves
-    scatter locality but is not required for correctness.
+    dt may be a traced scalar; cfg must be static.
+
+    ``fast=True`` (default) uses the TPU-native formulations — packed-row
+    interpolation (core/interp_packed.py) and the dense per-cell particle
+    table (ops/celltable.py) for seeding + P2G; particles keep their
+    original order (no per-step permutation).  ``fast=False`` runs the
+    direct gather/scatter formulations (ops/p2g.py, ops/levelset.py), which
+    mirror the NumPy twin op-for-op; both paths agree up to float
+    reassociation and are cross-checked in tests.
     """
-    pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt)
+    from ..ops.celltable import (
+        build_cell_table,
+        p2g_from_table,
+        seed_closest_from_table,
+        seed_overflow_correction,
+    )
+    from ..ops.levelset import FAR, neighborhood_pass, seed_closest, sweep_closest
+
+    pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt, packed=fast)
     vel = state.vel
 
-    if bin_first:
-        _, _, pos, vel, _ = bin_particles(cfg, pos, vel)
+    if fast:
+        table = build_cell_table(cfg, pos, vel)
+        phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
+        phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
+        phi, cpos = neighborhood_pass(cfg, cpos0)
+        phi, _ = sweep_closest(cfg, phi, cpos)
+        u, v, w, uv, vv, wv = p2g_from_table(cfg, table, pos, vel)
+    else:
+        phi, _ = compute_level_set(cfg, pos)
+        u, v, w, uv, vv, wv = transfer_to_grid(cfg, pos, vel)
 
-    phi, _ = compute_level_set(cfg, pos)
-
-    u, v, w, uv, vv, wv = transfer_to_grid(cfg, pos, vel)
     u = extrapolate_one_ring(u, uv)
     v = extrapolate_one_ring(v, vv)
     w = extrapolate_one_ring(w, wv)
@@ -68,16 +85,18 @@ def step(state: SimState, dt, cfg: SimConfig, bin_first: bool = True) -> SimStat
     u, v, w, _ = project(cfg, u, v, w, phi, dt)
 
     alpha = pic_flip_alpha(cfg, dt)
-    vel = flip_update(cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha)
+    vel = flip_update(
+        cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha, packed=fast
+    )
 
     phi = blur_phi(phi)
 
     return SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "bin_first"))
-def step_jit(state: SimState, dt, cfg: SimConfig, bin_first: bool = True) -> SimState:
-    return step(state, dt, cfg, bin_first)
+@functools.partial(jax.jit, static_argnames=("cfg", "fast"))
+def step_jit(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
+    return step(state, dt, cfg, fast)
 
 
 def clamp_dt(cfg: SimConfig, dt, simulation_rate: float = 1.0):

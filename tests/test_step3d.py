@@ -81,32 +81,33 @@ def test_step_matches_cpu_oracle_one_step():
         phi=np.full(CFG.grid_shape(), np.inf, np.float32),
     )
     ref.simulate(dt)
-    out = step_jit(state, dt, CFG, bin_first=False)
+    for fast in (False, True):
+        out = step_jit(state, dt, CFG, fast=fast)
 
-    np.testing.assert_allclose(np.asarray(out.pos), ref.pos, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.pos), ref.pos, atol=2e-5)
 
-    dv = np.abs(np.asarray(out.vel) - ref.vel)
-    # Velocities at particles: the reference's own CPU<->GPU parity was
-    # 2.5e-3 absolute after 100 SOR iterations (Simulation.cpp:899-900);
-    # our f32-vs-f64 SOR plus extrapolation-style differences land in the
-    # same regime.  Median tight, interface tail bounded.
-    assert np.quantile(dv, 0.5) < 1e-3, np.quantile(dv, [0.5, 0.95, 1.0])
-    assert np.quantile(dv, 0.95) < 6e-3
-    assert dv.max() < 0.25
+        dv = np.abs(np.asarray(out.vel) - ref.vel)
+        # Velocities at particles: the reference's own CPU<->GPU parity was
+        # 2.5e-3 absolute after 100 SOR iterations (Simulation.cpp:899-900);
+        # our f32-vs-f64 SOR plus extrapolation-style differences land in
+        # the same regime.  Median tight, interface tail bounded.
+        assert np.quantile(dv, 0.5) < 1e-3, (fast, np.quantile(dv, [0.5, 0.95, 1.0]))
+        assert np.quantile(dv, 0.95) < 6e-3, fast
+        assert dv.max() < 0.25, fast
 
 
-def test_bin_first_invariance():
-    """Binning permutes particles; grid results must be identical up to
-    reassociation, and the particle *set* must be preserved."""
+def test_fast_slow_equivalence():
+    """The TPU-native fast path (packed interpolation + dense cell table)
+    must agree with the direct gather/scatter path up to reassociation."""
     state = init_state(CFG)
-    a = step_jit(state, 0.01, CFG, bin_first=True)
-    b = step_jit(state, 0.01, CFG, bin_first=False)
+    a = step_jit(state, 0.01, CFG, fast=True)
+    b = step_jit(state, 0.01, CFG, fast=False)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi), atol=1e-4)
-    # Same multiset of particle positions.
-    pa = np.sort(np.asarray(a.pos).view("f4").reshape(-1, 3), axis=0)
-    pb = np.sort(np.asarray(b.pos).view("f4").reshape(-1, 3), axis=0)
-    np.testing.assert_allclose(pa, pb, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)
 
 
 def test_jit_single_compilation_whole_step():
