@@ -212,17 +212,31 @@ def _shift2(a, axis, s, fill):
     return jnp.pad(a, pad, constant_values=fill)[tuple(sl)]
 
 
-def extrapolate_one_ring(g, valid):
-    num = jnp.zeros(g.shape, jnp.float32)
-    tot = jnp.zeros(g.shape, jnp.float32)
-    for axis in range(2):
-        for s in (-1, 1):
-            nb = _shift2(g, axis, s, 0.0)
-            ok = _shift2(valid, axis, s, True)
-            num = num + ok
-            tot = tot + jnp.where(ok, nb, 0.0)
-    mean = jnp.where(num > 0, tot / jnp.maximum(num, 1.0), 0.0)
-    return jnp.where(valid, g, mean)
+def extrapolate_full(g, valid, iters: int):
+    """Full-grid extrapolation, exactly equivalent to the 2D reference's
+    Manhattan-distance-bucket BFS (Simulation2D.cpp:443-581): iterate a
+    masked one-ring fill; each iteration assigns cells adjacent to the
+    currently-valid set the mean of their valid neighbors, then grows the
+    valid set.  Newly-filled cells never read same-distance neighbors —
+    matching the bucket rule cd[nb] < cd[me].  ``iters`` must cover the
+    grid's Manhattan diameter (nx + ny)."""
+
+    def body(_, carry):
+        g, valid = carry
+        num = jnp.zeros(g.shape, jnp.float32)
+        tot = jnp.zeros(g.shape, jnp.float32)
+        for axis in range(2):
+            for s in (-1, 1):
+                nb = _shift2(g, axis, s, 0.0)
+                ok = _shift2(valid, axis, s, False)
+                num = num + ok
+                tot = tot + jnp.where(ok, nb, 0.0)
+        fill = (~valid) & (num > 0)
+        g = jnp.where(fill, tot / jnp.maximum(num, 1.0), g)
+        return g, valid | fill
+
+    g, _ = jax.lax.fori_loop(0, iters, body, (g, valid))
+    return g
 
 
 def project(cfg: SimConfig2D, u, v, phi, dt, iterations=None):
@@ -304,8 +318,9 @@ def step2d(state: SimState2D, dt, cfg: SimConfig2D) -> SimState2D:
     alpha = jnp.clip(6.0 * dt * jnp.float32(cfg.nu * cfg.cells_per_meter**2), 0.0, 1.0)
     phi, _ = compute_level_set(cfg, pos)
     u, v, uv, vv = transfer_to_grid(cfg, pos, state.vel)
-    u = extrapolate_one_ring(u, uv)
-    v = extrapolate_one_ring(v, vv)
+    iters = cfg.nx + cfg.ny + 2
+    u = extrapolate_full(u, uv, iters)
+    v = extrapolate_full(v, vv, iters)
     old_u, old_v = u, v
     v = v.at[:, 1 : cfg.ny].add(jnp.float32(cfg.gravity_y) * dt)
     u, v, _ = project(cfg, u, v, phi, dt)
