@@ -71,21 +71,97 @@ def sample_phi(phi, p):
     return c0 * (1 - fz) + c1 * fz
 
 
-def map_dist(phi, p):
-    """Distance to fluid at p in [0,1]^3 (Render.fx:77-116): quintic
-    smoothstep warp on x/z fractions, then a scaled phi sample."""
-    m = jnp.array(phi.shape, jnp.float32)
-    inv_m = 1.0 / m
+def _warp(p, dims):
+    """iq's quintic smoothstep warp on x/z fractions (Render.fx:81-113),
+    returning warped [0,1]^3 sample coordinates."""
+    m = jnp.array(dims, jnp.float32)
     mp = m * p + 0.5
     i = jnp.floor(mp)
     f = mp - i
     fx = f[..., 0]
     fz = f[..., 2]
-    warp = lambda t: t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
-    f = f.at[..., 0].set(warp(fx)).at[..., 2].set(warp(fz))
-    mp = i + f
-    pw = inv_m * (mp - 0.5)
-    return sample_phi(phi, pw) * inv_m[0]
+    q = lambda t: t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+    f = f.at[..., 0].set(q(fx)).at[..., 2].set(q(fz))
+    return (1.0 / m) * (i + f - 0.5)
+
+
+def map_dist(phi, p):
+    """Distance to fluid at p in [0,1]^3 (Render.fx:77-116): quintic
+    smoothstep warp on x/z fractions, then a scaled phi sample."""
+    return sample_phi(phi, _warp(p, phi.shape)) / jnp.float32(phi.shape[0])
+
+
+# -- packed level-set texture (TPU fast path) --------------------------------
+#
+# Measured on TPU v5e, XLA gathers cost ~8 ns per transaction regardless of
+# size up to ~512 B, so the 8-element-gather trilerp above is transaction
+# bound (the raymarcher issues hundreds of map() calls per pixel).  Like
+# core/interp_packed.py, we pre-pack phi so one 128-lane row gather fetches a
+# query's whole (2 x 2 x 32) neighborhood, and the z-lerp becomes a lane-hat
+# reduction.  ~7x fewer memory transactions per map() call.
+
+_SEG = 31
+_LANES = 32
+
+
+class PackedPhi:
+    """Packed (4 x 32)-row representation of a cell-centered texture."""
+
+    def __init__(self, phi):
+        nx, ny, nz = phi.shape
+        self.dims = (nx, ny, nz)
+        self.ns = (nz - 2) // _SEG + 1
+        pad = _SEG * (self.ns - 1) + _LANES
+        pp = jnp.pad(phi, ((0, 0), (0, 0), (0, pad - nz)))
+        seg = jnp.stack(
+            [pp[..., _SEG * s : _SEG * s + _LANES] for s in range(self.ns)],
+            axis=-2,
+        )  # (nx, ny, ns, L)
+        rows = jnp.stack(
+            [
+                seg[0 : nx - 1, 0 : ny - 1],
+                seg[0 : nx - 1, 1:ny],
+                seg[1:nx, 0 : ny - 1],
+                seg[1:nx, 1:ny],
+            ],
+            axis=3,
+        )  # (nx-1, ny-1, ns, 4, L)
+        self.rows = rows.reshape((nx - 1) * (ny - 1) * self.ns, 4 * _LANES)
+
+    def tree_flatten(self):
+        return (self.rows,), (self.dims, self.ns)
+
+
+def sample_phi_packed(tex: PackedPhi, p):
+    """Texture sample with half-texel centers + clamp addressing, equal to
+    sample_phi() to float roundoff."""
+    nx, ny, nz = tex.dims
+    n = jnp.array(tex.dims, jnp.float32)
+    q = jnp.clip(p * n - 0.5, 0.0, n - 1.0)
+    i = jnp.minimum(jnp.floor(q), n - 2.0)
+    f = q - i
+    ix = i[..., 0].astype(jnp.int32)
+    iy = i[..., 1].astype(jnp.int32)
+    iz = i[..., 2].astype(jnp.int32)
+    seg = (iz // _SEG).astype(jnp.int32)
+    key = (ix * (ny - 1) + iy) * tex.ns + seg
+    shape = key.shape
+    rows = tex.rows[key.reshape(-1)].reshape(-1, 4, _LANES)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, _LANES), 2)
+    zpos = jnp.float32(_SEG) * seg.reshape(-1, 1, 1).astype(jnp.float32) + lane
+    qz = q[..., 2].reshape(-1, 1, 1)
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(qz - zpos))
+    zred = (rows * wz).sum(-1)  # (N, 4)
+    fx = f[..., 0].reshape(-1)
+    fy = f[..., 1].reshape(-1)
+    w4 = jnp.stack(
+        [(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy], axis=-1
+    )
+    return (zred * w4).sum(-1).reshape(shape)
+
+
+def map_dist_packed(tex: PackedPhi, p):
+    return sample_phi_packed(tex, _warp(p, tex.dims)) / jnp.float32(tex.dims[0])
 
 
 # -- geometry ---------------------------------------------------------------
@@ -198,7 +274,7 @@ def sample_environment(d):
 
 # -- glass ------------------------------------------------------------------
 
-def trace_glass(phi, co, ci):
+def trace_glass(co, ci):
     """Render.fx:255-352.  Returns (h_main, prim_co, prim_ci, prim_alpha,
     refl_sum)."""
     box_lo = jnp.array([-0.5 - WALL] * 3, jnp.float32)
@@ -285,93 +361,124 @@ def trace_glass(phi, co, ci):
 
 # -- water intersection ------------------------------------------------------
 
-def intersect_water(phi, co, ci, max_t):
-    """Render.fx:358-424.  Returns (p_shifted, t)."""
-    inv_m0 = 1.0 / jnp.float32(phi.shape[0])
+def intersect_water(md, inv_m0, co, ci, max_t):
+    """Render.fx:358-424.  Returns (p_shifted, t).
+
+    ``md`` is the distance-field sampler (map_dist flavor); the fixed
+    worst-case loop counts (64 / 128 / 48) are preserved but run under
+    ``lax.while_loop`` with whole-batch early exit: once every lane has
+    converged the loop stops (individual lanes stop updating the moment
+    their own break condition fires — identical results, fewer map calls).
+    The inside branch only runs when some lane starts inside the water.
+    """
     p0 = co + 0.5
-    initial = map_dist(phi, p0)
+    initial = md(p0)
     outside = (initial > 0.0) | (p0[..., 1] > 0.9999)
 
     # --- outside: 64-step sphere trace (Render.fx:369-381)
-    def out_body(_, carry):
-        p, t, done = carry
-        dt = map_dist(phi, p)
+    def out_cond(c):
+        i, p, t, done = c
+        return (i < 64) & jnp.any(~done)
+
+    def out_body(c):
+        i, p, t, done = c
+        dt = md(p)
         t2 = t + dt
         done2 = done | (dt < 0.001) | (t2 >= max_t)
         p2 = p0 + t2[..., None] * ci
         t = jnp.where(done, t, t2)
         p = jnp.where(done[..., None], p, p2)
-        return p, t, done2
+        return i + 1, p, t, done2
 
-    p_o, t_o, _ = jax.lax.fori_loop(
-        0, 64, out_body, (p0, jnp.zeros_like(max_t), jnp.zeros(max_t.shape, bool))
+    # Lanes that are "inside" never update their done flag meaningfully;
+    # mark them done so they don't keep the loop alive.
+    _, p_o, t_o, _ = jax.lax.while_loop(
+        out_cond,
+        out_body,
+        (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside),
     )
     t_o = jnp.minimum(t_o, max_t)
     p_o = p0 + t_o[..., None] * ci
 
     # --- inside: 128-step fixed march + 48-i backward trace (Render.fx:391-423)
-    step = inv_m0
+    def run_inside(_):
+        step = inv_m0
 
-    def in_fwd(i, carry):
-        p, t, i_exit, exited, boxed = carry
-        active = ~(exited | boxed)
-        dt = map_dist(phi, p)
-        t2 = t + step
-        exit_now = active & (dt >= 0.0)
-        box_now = active & ~exit_now & (t2 >= max_t)
-        i_exit = jnp.where(exit_now, i, i_exit)
-        p2 = p0 + t2[..., None] * ci
-        # On exit: t advances but p does not (reference break order).
-        t = jnp.where(active, t2, t)
-        p = jnp.where((active & ~exit_now)[..., None], p2, p)
-        return p, t, i_exit, exited | exit_now, boxed | box_now
+        def fwd_cond(c):
+            i, p, t, i_exit, exited, boxed = c
+            return (i < 128) & jnp.any(~(exited | boxed))
 
-    init = (
-        p0,
-        jnp.zeros_like(max_t),
-        jnp.full(max_t.shape, 128, jnp.int32),
-        jnp.zeros(max_t.shape, bool),
-        jnp.zeros(max_t.shape, bool),
+        def fwd_body(c):
+            i, p, t, i_exit, exited, boxed = c
+            active = ~(exited | boxed)
+            dt = md(p)
+            t2 = t + step
+            exit_now = active & (dt >= 0.0)
+            box_now = active & ~exit_now & (t2 >= max_t)
+            i_exit = jnp.where(exit_now, i, i_exit)
+            p2 = p0 + t2[..., None] * ci
+            # On exit: t advances but p does not (reference break order).
+            t = jnp.where(active, t2, t)
+            p = jnp.where((active & ~exit_now)[..., None], p2, p)
+            return i + 1, p, t, i_exit, exited | exit_now, boxed | box_now
+
+        init = (
+            jnp.int32(0),
+            p0,
+            jnp.zeros_like(max_t),
+            jnp.full(max_t.shape, 128, jnp.int32),
+            outside,  # outside lanes are inert here
+            jnp.zeros(max_t.shape, bool),
+        )
+        _, p_i, t_i, i_exit, exited, boxed = jax.lax.while_loop(
+            fwd_cond, fwd_body, init
+        )
+
+        def bwd_cond(c):
+            k, p, t, done = c
+            return (k < 48) & jnp.any(((i_exit + k) < 48) & ~done & ~boxed)
+
+        def bwd_body(c):
+            k, p, t, done = c
+            active = ((i_exit + k) < 48) & ~done & ~boxed & ~outside
+            dt = -md(p)
+            t2 = t + dt
+            done2 = done | (active & (dt > -0.001))
+            p2 = p0 + t2[..., None] * ci
+            t = jnp.where(active, t2, t)
+            p = jnp.where((active & ~(dt > -0.001))[..., None], p2, p)
+            return k + 1, p, t, done2
+
+        _, p_i, t_i, _ = jax.lax.while_loop(
+            bwd_cond, bwd_body, (jnp.int32(0), p_i, t_i, jnp.zeros(max_t.shape, bool))
+        )
+        # Box-exit early return: point exactly at the box edge.
+        p_i = jnp.where(boxed[..., None], p0 + max_t[..., None] * ci, p_i)
+        t_i = jnp.where(boxed, max_t, t_i)
+        return p_i, t_i
+
+    p_i, t_i = jax.lax.cond(
+        jnp.any(~outside),
+        run_inside,
+        lambda _: (p0, jnp.zeros_like(max_t)),
+        operand=None,
     )
-    p_i, t_i, i_exit, exited, boxed = jax.lax.fori_loop(0, 128, in_fwd, init)
-
-    def in_bwd(k, carry):
-        p, t, done = carry
-        active = ((i_exit + k) < 48) & ~done & ~boxed
-        dt = -map_dist(phi, p)
-        t2 = t + dt
-        done2 = done | (active & (dt > -0.001))
-        p2 = p0 + t2[..., None] * ci
-        t = jnp.where(active, t2, t)
-        p = jnp.where((active & ~(dt > -0.001))[..., None], p2, p)
-        return p, t, done2
-
-    p_i, t_i, _ = jax.lax.fori_loop(
-        0, 48, in_bwd, (p_i, t_i, jnp.zeros(max_t.shape, bool))
-    )
-    # Box-exit early return: point exactly at the box edge.
-    p_i = jnp.where(boxed[..., None], p0 + max_t[..., None] * ci, p_i)
-    t_i = jnp.where(boxed, max_t, t_i)
 
     p = jnp.where(outside[..., None], p_o, p_i)
     t = jnp.where(outside, t_o, t_i)
     return p, t
 
 
-def compute_gradient(phi, p):
+def compute_gradient(md, p):
     """Forward-difference normal (Render.fx:426-438)."""
     top = p[..., 1] > 0.999
-    d0 = map_dist(phi, p)
+    d0 = md(p)
     e = 0.005
     ex = jnp.array([e, 0, 0], jnp.float32)
     ey = jnp.array([0, e, 0], jnp.float32)
     ez = jnp.array([0, 0, e], jnp.float32)
     g = jnp.stack(
-        [
-            map_dist(phi, p + ex) - d0,
-            map_dist(phi, p + ey) - d0,
-            map_dist(phi, p + ez) - d0,
-        ],
+        [md(p + ex) - d0, md(p + ey) - d0, md(p + ez) - d0],
         axis=-1,
     )
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
@@ -380,51 +487,94 @@ def compute_gradient(phi, p):
 
 # -- water bounce recursion (unrolled: 2 -> 1 -> 0) -------------------------
 
-def trace_water0(phi, co, ci):
+def trace_water0(co, ci):
     """Render.fx:442-447."""
-    _, _, prim_ci, prim_alpha, refl_sum = trace_glass(phi, co, ci)
+    _, _, prim_ci, prim_alpha, refl_sum = trace_glass(co, ci)
     return prim_alpha[..., None] * sample_environment(prim_ci) + refl_sum
 
 
-def _trace_water_level(phi, co, ci, inner):
-    """Shared body of traceWater1/traceWater2 (Render.fx:451-515)."""
+def _expand_bounce(md, inv_m0, co, ci):
+    """One water-bounce level (the shared body of traceWater1/traceWater2,
+    Render.fx:451-515), expressed as ray splitting: returns the hit point
+    and two weighted child rays.  A miss forwards the ray unchanged with
+    weight 1 (the reference's traceWater0 straight call); on a hit the
+    children are the fresnel-weighted reflection and transmission.  Note the
+    reference evaluates *both* recursive calls unconditionally in HLSL, so
+    zero-weight children (TIR) are traced there too — identical here."""
     co = co + 0.001 * ci
     half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
     _, max_t, _, _ = intersect_aabb(co, ci, -half, half)
-    p_hit, t_hit = intersect_water(phi, co, ci, max_t)
+    p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t)
     ipoint = p_hit - 0.5
     missed = t_hit >= max_t
 
-    norm = _norm(compute_gradient(phi, p_hit), eps=1e-20)
+    norm = _norm(compute_gradient(md, p_hit), eps=1e-20)
     from_inside = _dot(norm, ci) > 0.0
     n1 = jnp.where(from_inside, 1.333, 1.000)
     n2 = jnp.where(from_inside, 1.000, 1.333)
     norm = jnp.where(from_inside[..., None], -norm, norm)
     fres, refl, trans = fresnel_tr(ci, norm, n1, n2)
 
-    straight = inner(ipoint, ci)
-    bounced = (
-        fres[..., None] * inner(ipoint, refl)
-        + (1.0 - fres)[..., None] * inner(ipoint, trans)
-    )
-    return jnp.where(missed[..., None], straight, bounced)
+    d_a = jnp.where(missed[..., None], ci, refl)
+    w_a = jnp.where(missed, 1.0, fres)
+    d_b = jnp.where(missed[..., None], ci, trans)
+    w_b = jnp.where(missed, 0.0, 1.0 - fres)
+    return ipoint, d_a, w_a, d_b, w_b
 
 
-def trace_water1(phi, co, ci):
-    return _trace_water_level(phi, co, ci, lambda c, d: trace_water0(phi, c, d))
+def trace_water2(md, inv_m0, co, ci):
+    """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
+    Render.fx:442-515), restructured as *batched* levels: each bounce level
+    concatenates its child rays and traces them in one call (4 leaf rays per
+    pixel).  Linearity of the weighted sum makes this the reference's
+    unrolled recursion with one HLO instance per level instead of an
+    exponential inline tree.  One micro-divergence: the reference's miss
+    case short-circuits straight to traceWater0, while here a missed ray
+    passes through the remaining bounce level as a weight-1 identity child;
+    the extra level immediately re-misses (max_t ~ 0 at the box boundary),
+    shifting the ray origin by the 0.001 epsilon step once more."""
+    shape = co.shape
+
+    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci)
+    co2 = jnp.concatenate([ip1, ip1], axis=0)
+    d2 = jnp.concatenate([d_a, d_b], axis=0)
+    w2 = jnp.concatenate([w_a, w_b], axis=0)
+
+    ip2, d_c, w_c, d_d, w_d = _expand_bounce(md, inv_m0, co2, d2)
+    co3 = jnp.concatenate([ip2, ip2], axis=0)
+    d3 = jnp.concatenate([d_c, d_d], axis=0)
+    w3 = jnp.concatenate([w2 * w_c, w2 * w_d], axis=0)
+
+    cols = trace_water0(co3, d3)  # (4*N, ..., 3)
+    cols = cols.reshape(4, *shape)
+    w3 = w3.reshape(4, *shape[:-1])
+    return (cols * w3[..., None]).sum(axis=0)
 
 
-def trace_water2(phi, co, ci):
-    return _trace_water_level(phi, co, ci, lambda c, d: trace_water1(phi, c, d))
+def trace_water1(md, inv_m0, co, ci):
+    """1-bounce variant (traceWater1), kept for API parity."""
+    shape = co.shape
+    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci)
+    co2 = jnp.concatenate([ip1, ip1], axis=0)
+    d2 = jnp.concatenate([d_a, d_b], axis=0)
+    w2 = jnp.concatenate([w_a, w_b], axis=0)
+    cols = trace_water0(co2, d2).reshape(2, *shape)
+    return (cols * w2.reshape(2, *shape[:-1])[..., None]).sum(axis=0)
 
 
 # -- top-level pixel shader --------------------------------------------------
 
 def shade(phi, co, ci):
-    """PS main (Render.fx:518-578) for ray batches."""
-    h, prim_co, prim_ci, _, _ = trace_glass(phi, co, ci)
+    """PS main (Render.fx:518-578) for ray batches.
+
+    Builds the packed level-set texture once per call; all map() sampling
+    inside the bounce tree goes through it."""
+    tex = PackedPhi(phi)
+    md = lambda p: map_dist_packed(tex, p)
+    inv_m0 = 1.0 / jnp.float32(phi.shape[0])
+    h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
-    col_water = trace_water2(phi, prim_co, prim_ci)
+    col_water = trace_water2(md, inv_m0, prim_co, prim_ci)
     col_sky = sample_environment(ci)
     col = jnp.where(hit[..., None], col_water, col_sky)
     out = jnp.abs(col) ** 2.2

@@ -27,6 +27,19 @@ def test_sample_phi_matches_manual_trilerp():
     assert abs(got - 0.5 * (phi[1, 0, 0] + phi[2, 0, 0])) < 1e-6
 
 
+def test_packed_phi_matches_sample_phi():
+    rng = np.random.default_rng(2)
+    phi = rng.normal(size=(16, 16, 16)).astype(np.float32)
+    pts = rng.uniform(-0.2, 1.2, size=(4096, 3)).astype(np.float32)
+    tex = rt.PackedPhi(jnp.asarray(phi))
+    a = np.asarray(rt.sample_phi(jnp.asarray(phi), jnp.asarray(pts)))
+    b = np.asarray(rt.sample_phi_packed(tex, jnp.asarray(pts)))
+    np.testing.assert_allclose(a, b, atol=3e-6)
+    c = np.asarray(rt.map_dist(jnp.asarray(phi), jnp.asarray(pts)))
+    d = np.asarray(rt.map_dist_packed(tex, jnp.asarray(pts)))
+    np.testing.assert_allclose(c, d, atol=3e-6)
+
+
 def test_intersect_aabb():
     co = jnp.array([[0.0, 0.0, -3.0]])
     ci = jnp.array([[0.0, 0.0, 1.0]])
