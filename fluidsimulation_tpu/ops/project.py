@@ -71,8 +71,24 @@ def compute_diag(cfg: SimConfig, phi):
     return jnp.where(fluid, num + ghost, 1.0)
 
 
-def sor_pressure(cfg: SimConfig, phi, diag, b, iterations: int | None = None):
-    """Checkerboard SOR (gpProjectIteration1/2.hlsl, 100 iterations)."""
+def sor_pressure(
+    cfg: SimConfig, phi, diag, b, iterations: int | None = None,
+    use_pallas: bool | None = None,
+):
+    """Checkerboard SOR (gpProjectIteration1/2.hlsl, 100 iterations).
+
+    When the working set fits VMEM (<= ~64^3) and we're on TPU, the whole
+    iteration runs in a single Pallas kernel (ops/pallas_sor.py) — one HBM
+    round trip instead of one per half-iteration.  use_pallas: None = auto.
+    """
+    from . import pallas_sor
+
+    if use_pallas is None:
+        use_pallas = pallas_sor.fits_vmem(cfg) and (
+            jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        return pallas_sor.sor_pressure_pallas(cfg, phi, diag, b, iterations)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     omega = jnp.float32(cfg.omega)
     iters = cfg.sor_iterations if iterations is None else iterations

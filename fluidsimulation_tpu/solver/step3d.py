@@ -99,6 +99,18 @@ def step_jit(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState
     return step(state, dt, cfg, fast)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "fast"))
+def simulate(state: SimState, dt, cfg: SimConfig, n_steps: int, fast: bool = True) -> SimState:
+    """Advance n_steps under one compiled program (lax.scan over steps) —
+    amortizes dispatch latency when no per-step host output is needed."""
+
+    def body(s, _):
+        return step(s, dt, cfg, fast), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
 def clamp_dt(cfg: SimConfig, dt, simulation_rate: float = 1.0):
     """dt clamp (Simulation.cpp:515): dt*rate clamped to [0, max_dt]."""
     return float(min(max(dt * simulation_rate, 0.0), cfg.max_dt))

@@ -99,7 +99,7 @@ def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StagePr
     totals here exceed the fused-step time — use for relative attribution,
     like the reference's RenderDoc captures.
     """
-    from ..ops import advect, binning, blur, extrapolate, flip, forces, levelset, p2g, project
+    from ..ops import advect, blur, celltable, extrapolate, flip, forces, levelset, project
 
     prof = StageProfiler()
     dt = jnp.float32(dt)
@@ -108,21 +108,30 @@ def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StagePr
         "ADVECT", jax.jit(advect.advect_rk3, static_argnums=0),
         cfg, state.u, state.v, state.w, state.pos, dt,
     )
-    counts, start, pos, vel, _ = prof.timed(
-        "TRANSFERPTG_BIN", jax.jit(binning.bin_particles, static_argnums=0),
-        cfg, pos, state.vel,
+    vel = state.vel
+    # The dense cell table subsumes the reference's count/prefix-sum/bin
+    # trio (no host round trip, no atomics).
+    table = prof.timed(
+        "TRANSFERPTG_BIN", jax.jit(celltable.build_cell_table, static_argnums=0),
+        cfg, pos, vel,
     )
+
+    def seed(cfg, table, pos):
+        phi0, cpos0 = celltable.seed_closest_from_table(cfg, table, levelset.FAR)
+        phi0, cpos0 = celltable.seed_overflow_correction(cfg, table, pos, phi0, cpos0)
+        return levelset.neighborhood_pass(cfg, cpos0)
+
     phi0, cpos0 = prof.timed(
-        "TRANSFERPTG_LEVELSET_ZERO", jax.jit(levelset.seed_closest, static_argnums=0),
-        cfg, pos,
+        "TRANSFERPTG_LEVELSET_ZERO", jax.jit(seed, static_argnums=0),
+        cfg, table, pos,
     )
     phi, _ = prof.timed(
         "TRANSFERPTG_LEVELSET_SWEEP", jax.jit(levelset.sweep_closest, static_argnums=0),
         cfg, phi0, cpos0,
     )
     u, v, w, uv, vv, wv = prof.timed(
-        "TRANSFERPTG_VELOCITY", jax.jit(p2g.transfer_to_grid, static_argnums=0),
-        cfg, pos, vel,
+        "TRANSFERPTG_VELOCITY", jax.jit(celltable.p2g_from_table, static_argnums=0),
+        cfg, table, pos, vel,
     )
     ex = jax.jit(extrapolate.extrapolate_one_ring)
     u = prof.timed("TRANSFERPTG_VELOCITY_EXTRAPOLATE", lambda: (ex(u, uv)))
