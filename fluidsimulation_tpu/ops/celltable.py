@@ -35,7 +35,10 @@ from .common import cell_of
 
 
 def default_k(cfg: SimConfig) -> int:
-    return 2 * cfg.particles_per_cell_axis**3 + 4
+    """Slots per cell: nominal seeding density + headroom.  Mild compression
+    beyond K is handled exactly by the bounded overflow corrections; the
+    table's memory/bandwidth cost is linear in K, so keep it tight."""
+    return cfg.particles_per_cell_axis**3 + 4
 
 
 @jax.tree_util.register_dataclass

@@ -12,6 +12,7 @@ by the on-device cumsum and always report 0.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable
 
@@ -91,13 +92,34 @@ class StageProfiler:
         return head + "\n" + vals
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_nostatic(fn):
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(fn):
+    """Module-level jit cache: re-wrapping in jax.jit per call would
+    recompile every profile_step invocation."""
+    return jax.jit(fn, static_argnums=0)
+
+
+def _seed_stage(cfg, table, pos):
+    from ..ops import celltable, levelset
+
+    phi0, cpos0 = celltable.seed_closest_from_table(cfg, table, levelset.FAR)
+    phi0, cpos0 = celltable.seed_overflow_correction(cfg, table, pos, phi0, cpos0)
+    return levelset.neighborhood_pass(cfg, cpos0)
+
+
 def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StageProfiler]:
     """Run one step stage-by-stage with per-stage timing.
 
     Stage boundaries follow GPFluidSim::Simulate's TimestampComplete calls
-    (Simulation.cpp:513-566).  Because stages are separately dispatched, the
-    totals here exceed the fused-step time — use for relative attribution,
-    like the reference's RenderDoc captures.
+    (Simulation.cpp:513-566).  Because stages are separately dispatched (and
+    each timed fetch pays the host round-trip), the totals here exceed the
+    fused-step time — use for relative attribution, like the reference's
+    RenderDoc captures.
     """
     from ..ops import advect, blur, celltable, extrapolate, flip, forces, levelset, project
 
@@ -105,66 +127,60 @@ def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StagePr
     dt = jnp.float32(dt)
 
     pos = prof.timed(
-        "ADVECT", jax.jit(advect.advect_rk3, static_argnums=0),
+        "ADVECT", _jitted(advect.advect_rk3),
         cfg, state.u, state.v, state.w, state.pos, dt,
     )
     vel = state.vel
     # The dense cell table subsumes the reference's count/prefix-sum/bin
     # trio (no host round trip, no atomics).
     table = prof.timed(
-        "TRANSFERPTG_BIN", jax.jit(celltable.build_cell_table, static_argnums=0),
+        "TRANSFERPTG_BIN", _jitted(celltable.build_cell_table),
         cfg, pos, vel,
     )
-
-    def seed(cfg, table, pos):
-        phi0, cpos0 = celltable.seed_closest_from_table(cfg, table, levelset.FAR)
-        phi0, cpos0 = celltable.seed_overflow_correction(cfg, table, pos, phi0, cpos0)
-        return levelset.neighborhood_pass(cfg, cpos0)
-
     phi0, cpos0 = prof.timed(
-        "TRANSFERPTG_LEVELSET_ZERO", jax.jit(seed, static_argnums=0),
+        "TRANSFERPTG_LEVELSET_ZERO", _jitted(_seed_stage),
         cfg, table, pos,
     )
     phi, _ = prof.timed(
-        "TRANSFERPTG_LEVELSET_SWEEP", jax.jit(levelset.sweep_closest, static_argnums=0),
+        "TRANSFERPTG_LEVELSET_SWEEP", _jitted(levelset.sweep_closest),
         cfg, phi0, cpos0,
     )
     u, v, w, uv, vv, wv = prof.timed(
-        "TRANSFERPTG_VELOCITY", jax.jit(celltable.p2g_from_table, static_argnums=0),
+        "TRANSFERPTG_VELOCITY", _jitted(celltable.p2g_from_table),
         cfg, table, pos, vel,
     )
-    ex = jax.jit(extrapolate.extrapolate_one_ring)
+    ex = _jitted_nostatic(extrapolate.extrapolate_one_ring)
     u = prof.timed("TRANSFERPTG_VELOCITY_EXTRAPOLATE", lambda: (ex(u, uv)))
     v = _block(ex(v, vv))
     w = _block(ex(w, wv))
     old_u, old_v, old_w = u, v, w
     v = prof.timed(
-        "BODYFORCES", jax.jit(forces.add_gravity, static_argnums=0), cfg, v, dt
+        "BODYFORCES", _jitted(forces.add_gravity), cfg, v, dt
     )
     b = prof.timed(
-        "PROJECT_RHS", jax.jit(project.compute_rhs, static_argnums=0),
+        "PROJECT_RHS", _jitted(project.compute_rhs),
         cfg, u, v, w, dt,
     )
     diag = prof.timed(
-        "PROJECT_DIAGCOEFFS", jax.jit(project.compute_diag, static_argnums=0),
+        "PROJECT_DIAGCOEFFS", _jitted(project.compute_diag),
         cfg, phi,
     )
     p = prof.timed(
-        "PROJECT_SOR", jax.jit(project.sor_pressure, static_argnums=0),
+        "PROJECT_SOR", _jitted(project.sor_pressure),
         cfg, phi, diag, b,
     )
     u, v, w = prof.timed(
-        "PROJECT_TOVELOCITY", jax.jit(project.apply_pressure, static_argnums=0),
+        "PROJECT_TOVELOCITY", _jitted(project.apply_pressure),
         cfg, u, v, w, p, phi, dt,
     )
     from ..solver.step3d import pic_flip_alpha
 
     alpha = pic_flip_alpha(cfg, dt)
     vel = prof.timed(
-        "FLIP_APPLY", jax.jit(flip.flip_update, static_argnums=0),
+        "FLIP_APPLY", _jitted(flip.flip_update),
         cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
     )
-    phi = prof.timed("BLURLEVELSET", jax.jit(blur.blur_phi), phi)
+    phi = prof.timed("BLURLEVELSET", _jitted_nostatic(blur.blur_phi), phi)
 
     new_state = SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi)
     return new_state, prof
