@@ -59,6 +59,15 @@ def _poll_stdin() -> str | None:
 
 
 def main(argv=None):
+    if os.environ.get("FST_FORCE_CPU"):
+        # Platform plugins can override JAX_PLATFORMS in this environment;
+        # jax.config wins if set before backend initialization.
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--grid", type=int, default=64, help="cubic grid size (demo: 64)")
     ap.add_argument("--steps", type=int, default=60)

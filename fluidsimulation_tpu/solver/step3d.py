@@ -99,6 +99,23 @@ def step_jit(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState
     return step(state, dt, cfg, fast)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "fast"))
+def step_guarded(state: SimState, dt, cfg: SimConfig, fast: bool = True):
+    """step() plus the reference's stability checks as a device-side flag
+    (velocity-explosion assert Simulation3D.cpp:172-175 and NaN guards,
+    SURVEY.md §5.2/§5.3): returns (new_state, healthy).  Callers decide the
+    recovery policy — the reference's is the user-facing 'r' reset."""
+    from ..utils.metrics import velocity_guard
+
+    out = step(state, dt, cfg, fast)
+    healthy = (
+        velocity_guard(out.vel)
+        & jax.numpy.isfinite(out.pos).all()
+        & jax.numpy.isfinite(out.u).all()
+    )
+    return out, healthy
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "fast"))
 def simulate(state: SimState, dt, cfg: SimConfig, n_steps: int, fast: bool = True) -> SimState:
     """Advance n_steps under one compiled program (lax.scan over steps) —

@@ -1,0 +1,48 @@
+"""Multi-chip sharding: the sharded step must equal the single-device step
+(run on the 8-virtual-CPU-device mesh from conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.state import init_state
+from fluidsimulation_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_step,
+    shard_state,
+    state_shardings,
+)
+from fluidsimulation_tpu.solver.step3d import step_jit
+
+CFG = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_step_matches_single(mesh):
+    state = init_state(CFG)
+    want = step_jit(state, 0.01, CFG)
+    sharded = shard_state(init_state(CFG), mesh)
+    got = make_sharded_step(CFG, mesh)(sharded, 0.01)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.phi), np.asarray(want.phi), atol=1e-4)
+
+
+def test_output_shardings_preserved(mesh):
+    sharded = shard_state(init_state(CFG), mesh)
+    out = make_sharded_step(CFG, mesh)(sharded, 0.01)
+    want = state_shardings(mesh)
+    for name in ("pos", "vel", "u", "v", "w", "phi"):
+        got_sh = getattr(out, name).sharding
+        assert got_sh.is_equivalent_to(
+            getattr(want, name), getattr(out, name).ndim
+        ), name
