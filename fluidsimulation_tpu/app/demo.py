@@ -127,7 +127,10 @@ def main(argv=None):
 
         if args.render_every and (i % args.render_every == 0):
             co, right, up, fwd = cam.frame(args.width, args.height)
-            img = render(state.phi, co, right, up, fwd, args.width, args.height)
+            img = render(
+                state.phi, co, right, up, fwd, args.width, args.height,
+                band_rows=64,
+            )
             write_ppm(os.path.join(args.out, f"frame_{i:05d}.ppm"), np.asarray(img))
 
         if i % 10 == 0:

@@ -585,20 +585,45 @@ def shade(phi, co, ci):
     return jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int):
+@functools.partial(jax.jit, static_argnames=("width", "height", "row0_height"))
+def _render_band(phi, cam_pos, cam_right, cam_up, cam_fwd,
+                 width: int, height: int, row0_height, y0):
+    """Render rows [y0, y0+row0_height) of a (height, width) frame."""
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    py = (y0 + jnp.arange(row0_height, dtype=jnp.float32) + 0.5) / height
+    fx, fy = jnp.meshgrid(px, py, indexing="xy")
+    u = -1.0 + 2.0 * fx
+    v = 1.0 - 2.0 * fy
+    ci = _norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
+    co = jnp.broadcast_to(cam_pos, ci.shape)
+    return shade(phi, co, ci)
+
+
+def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
+           band_rows: int = 0):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:54-55; camera frame
     from render/camera.py (FOV scaling folded into right/up).
+
+    band_rows > 0 renders the frame in horizontal bands (one compiled
+    program reused per band): the raymarch loops exit when *all* rays in a
+    batch converge, so smaller batches exit earlier — typically ~2x faster
+    for full frames at a small dispatch-count cost.
     """
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    fx, fy = jnp.meshgrid(px, py, indexing="xy")
-    u = -1.0 + 2.0 * fx
-    v = 1.0 - 2.0 * fy
-    ci = _norm(
-        u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd
-    )
-    co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade(phi, co, ci)
+    if band_rows <= 0 or band_rows >= height:
+        return _render_band(
+            phi, cam_pos, cam_right, cam_up, cam_fwd, width, height, height, 0
+        )
+    bands = []
+    y = 0
+    while y < height:
+        rows = min(band_rows, height - y)
+        bands.append(
+            _render_band(
+                phi, cam_pos, cam_right, cam_up, cam_fwd,
+                width, height, rows, jnp.float32(y),
+            )
+        )
+        y += rows
+    return jnp.concatenate(bands, axis=0)
