@@ -101,7 +101,9 @@ def main(argv=None):
             if cmd == "+":
                 rate = min(rate * 2.0, 1.0)
             elif cmd == "-":
-                rate = max(rate / 2.0, np.finfo(np.float32).tiny)
+                # Clamp at the smallest denormal like DecreaseSpeed
+                # (Simulation.cpp:304-312).
+                rate = max(rate / 2.0, float(np.finfo(np.float32).smallest_subnormal))
             elif cmd == "0":
                 cam.reset()
             elif cmd == "r":

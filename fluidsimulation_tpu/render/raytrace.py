@@ -164,6 +164,17 @@ def map_dist_packed(tex: PackedPhi, p):
     return sample_phi_packed(tex, _warp(p, tex.dims)) / jnp.float32(tex.dims[0])
 
 
+GROUND_COLOR = (0.8, 0.8, 0.8)  # Render.fx:27 (floor disabled at :567)
+
+
+def trace_floor(co, ci):
+    """Distance to the matte floor plane y = -0.5 - w (Render.fx:64-74).
+    Present for component parity; the reference disables the floor in its
+    pixel shader (`|| true`, Render.fx:567) and so do we."""
+    t = (-0.5 - WALL - co[..., 1]) / ci[..., 1]
+    return jnp.where(t < 0.0, LARGE, t)
+
+
 # -- geometry ---------------------------------------------------------------
 
 def intersect_aabb(co, ci, bmin, bmax):

@@ -48,10 +48,12 @@ def test_table_slot_order_is_original_index_order():
     pc = np.asarray(pos) * m
     cell = np.floor(pc + 0.5).astype(np.int64)
     # For a couple of cells, slot order must equal ascending particle index.
+    # Layout: (nx, ny, K, 8, nz).
     for target in [tuple(cell[0]), tuple(cell[123])]:
         members = np.nonzero((cell == np.array(target)).all(axis=1))[0]
         k = len(members)
-        got = slots[target][:k, 0:3]
+        x, y, z = target
+        got = slots[x, y, :k, 0:3, z]
         np.testing.assert_allclose(got, pc[members], atol=1e-5)
 
 
