@@ -58,6 +58,37 @@ def _poll_stdin() -> str | None:
     return None
 
 
+def _main_2d(args):
+    """2D demo loop: the TPU equivalent of the archival 2D driver
+    (FluidSimDemoOld.cpp) — dam break with curl-noise initial velocities,
+    rendered as particle point splats over a checkerboard
+    (DebugPointsQuads.fx / Basic.fx)."""
+    from ..core.config import SimConfig2D
+    from ..render.debug import splat_particles_2d
+    from ..solver.step2d import init_state2d, step2d_jit
+
+    cfg = SimConfig2D(
+        nx=args.grid, ny=args.grid, cells_per_meter=float(args.grid)
+    )
+    os.makedirs(args.out, exist_ok=True)
+    print(f"2D grid {cfg.nx}x{cfg.ny}, {cfg.num_particles} particles")
+    state = init_state2d(cfg)
+    rate = args.rate
+    meter = Meter(cfg.num_particles)
+    for i in range(args.steps):
+        dt = float(np.clip(args.dt * rate, 0.0, cfg.max_dt))
+        t0 = time.perf_counter()
+        state = step2d_jit(state, dt, cfg)
+        state.pos.block_until_ready()
+        meter.tick()
+        if args.render_every and (i % args.render_every == 0):
+            img = splat_particles_2d(state.pos, args.width, args.height)
+            write_ppm(os.path.join(args.out, f"frame2d_{i:05d}.ppm"), np.asarray(img))
+        if i % 10 == 0:
+            print(f"step {i}: {1000*(time.perf_counter()-t0):.1f} ms ({meter.summary()})")
+    print(meter.summary())
+
+
 def main(argv=None):
     if os.environ.get("FST_FORCE_CPU"):
         # Platform plugins can override JAX_PLATFORMS in this environment;
@@ -80,7 +111,15 @@ def main(argv=None):
     ap.add_argument("--save-state", action="store_true")
     ap.add_argument("--profile", action="store_true", help="per-stage timing table each step")
     ap.add_argument("--ppc", type=int, default=2, help="particles per cell axis")
+    ap.add_argument(
+        "--two-d", action="store_true",
+        help="run the 2D solver (FluidSim / FluidSimDemoOld equivalent), "
+        "rendering particle splats over a checkerboard",
+    )
     args = ap.parse_args(argv)
+
+    if args.two_d:
+        return _main_2d(args)
 
     cfg = SimConfig(
         nx=args.grid, ny=args.grid, nz=args.grid,

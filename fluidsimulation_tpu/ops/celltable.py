@@ -267,6 +267,89 @@ def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None):
     return u, v, w, uv, vv, wv
 
 
+def p2g_from_table_fused(cfg: SimConfig, table: CellTable, pos=None, vel=None):
+    """Same result as p2g_from_table, restructured as ONE sweep over the 27
+    cell offsets that accumulates all three components at once — each window
+    of the table is read once (7 fields) instead of three times (5 fields
+    each), ~1.4x less HBM traffic.
+
+    Key observation: for every component, a particle in cell c contributes
+    to faces at cell-relative offsets {0,+1} along the staggered axis and
+    {-1,0,+1} along the others; equivalently, face f accumulates from cells
+    f+off with off in {-1,0}x{-1,0,1}^2 (staggered axis first).  Working in
+    *cell-indexed* accumulators (component face i+1 stored at cell i) turns
+    all three neighborhoods into subsets of the 27-neighborhood.
+    """
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    slots = table.slots  # (nx, ny, K, 8, nz)
+    padded = jnp.pad(slots, ((1, 1), (1, 1), (0, 0), (0, 0), (1, 1)))
+
+    # Cell-indexed accumulators: entry c holds the face at staggered index
+    # c+1 for the staggered axis (interior faces 1..n-1 live at cells
+    # 0..n-2; boundary faces are forced afterwards).  For component a, face
+    # (c+e_a) gathers cells (c+e_a)+off with off_a in {-1,0} -> cell-relative
+    # offsets d = off + e_a with d_a in {0,1}, d_other in {-1,0,1}.
+    accs = [jnp.zeros((nx, ny, nz), jnp.float32) for _ in range(3)]
+    amts = [jnp.zeros((nx, ny, nz), jnp.float32) for _ in range(3)]
+
+    xs = jnp.arange(nx, dtype=jnp.float32).reshape(nx, 1, 1, 1)
+    ys = jnp.arange(ny, dtype=jnp.float32).reshape(1, ny, 1, 1)
+    zs = jnp.arange(nz, dtype=jnp.float32).reshape(1, 1, 1, nz)
+    cell_coord = (xs, ys, zs)
+
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                d = (dx, dy, dz)
+                win = padded[
+                    1 + dx : 1 + dx + nx,
+                    1 + dy : 1 + dy + ny,
+                    :,
+                    :,
+                    1 + dz : 1 + dz + nz,
+                ]
+                p3 = (win[:, :, :, 0, :], win[:, :, :, 1, :], win[:, :, :, 2, :])
+                present = win[:, :, :, 6, :]
+                # Per-axis hat weights at the normal (cell-center-aligned)
+                # and staggered (half-offset) sample positions.
+                wn = []  # weight vs face coordinate == cell coordinate
+                wsv = []  # weight vs staggered face at cell+0.5
+                for ax in range(3):
+                    rel = p3[ax] - cell_coord[ax]
+                    wn.append(jnp.maximum(0.0, 1.0 - jnp.abs(rel)))
+                    wsv.append(jnp.maximum(0.0, 1.0 - jnp.abs(rel - 0.5)))
+                for a in range(3):
+                    if d[a] not in (0, 1):
+                        continue
+                    wgt = present
+                    for ax in range(3):
+                        wgt = wgt * (wsv[ax] if ax == a else wn[ax])
+                    velc = win[:, :, :, 3 + a, :]
+                    accs[a] = accs[a] + (wgt * velc).sum(2)
+                    amts[a] = amts[a] + wgt.sum(2)
+
+    out = []
+    for a, shape in ((0, (nx + 1, ny, nz)), (1, (nx, ny + 1, nz)), (2, (nx, ny, nz + 1))):
+        # Reposition: cell-indexed entry c -> staggered face c+1; boundary
+        # faces (0 and n) zero/valid.
+        pad = [(0, 0)] * 3
+        pad[a] = (1, 0)
+        acc = jnp.pad(accs[a], pad)
+        amt = jnp.pad(amts[a], pad)
+        if pos is not None:
+            acc, amt = _overflow_scatter(cfg, table, pos, vel, a, shape, acc, amt)
+        g = acc / jnp.maximum(amt, jnp.float32(1e-30))
+        valid = amt > cfg.zero_thresh
+        for edge in (0, (nx, ny, nz)[a]):
+            sl = [slice(None)] * 3
+            sl[a] = edge
+            g = g.at[tuple(sl)].set(0.0)
+            valid = valid.at[tuple(sl)].set(True)
+        out.append((g, valid))
+    (u, uv), (v, vv), (w, wv) = out
+    return u, v, w, uv, vv, wv
+
+
 def _overflow_scatter(cfg, table, pos, vel, comp_axis, shape, acc, amt):
     """Exact scatter-add of overflow particles' hat contributions (bounded
     by overflow_cap, so it is cheap and always on)."""
