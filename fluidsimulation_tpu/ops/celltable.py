@@ -66,17 +66,20 @@ def build_cell_table(
     cell = cell_of(pc)
     lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
 
-    # Rank of each particle within its cell, in original index order:
-    # stable-argsort the keys, compute run ranks, scatter back.
-    perm = jnp.argsort(lin, stable=True)
-    lin_s = lin[perm]
+    # Joint sort of (cell key, particle index): one lax.sort gives both the
+    # sorted keys and the permutation (cheaper than argsort + a gather of
+    # the keys).  Sorting by (lin, idx) lexicographically is equivalent to a
+    # stable sort by lin, which keeps within-cell slot order == original
+    # particle-index order (the reference's first-wins tie-break).
     idx = jnp.arange(n, dtype=jnp.int32)
+    lin_s, perm = jax.lax.sort((lin, idx), num_keys=2)
+
+    # Rank within run: running max via manual doubling (Hillis-Steele) —
+    # same result as lax.associative_scan(jnp.maximum, ...) but ~30x faster
+    # to compile on TPU and equally fast to run.
     changes = jnp.concatenate(
         [jnp.ones(1, bool), lin_s[1:] != lin_s[:-1]]
     )
-    # Running max via manual doubling (Hillis-Steele): same result as
-    # lax.associative_scan(jnp.maximum, ...) but ~30x faster to compile on
-    # TPU and equally fast to run.
     run_start = jnp.where(changes, idx, 0)
     k = 1
     while k < n:
@@ -85,11 +88,10 @@ def build_cell_table(
         )
         k *= 2
     rank_s = idx - run_start
-    rank = jnp.zeros(n, jnp.int32).at[perm].set(rank_s, unique_indices=True)
 
-    in_tab = rank < K
+    in_tab_s = rank_s < K
     ncells = nx * ny * nz
-    slot = jnp.where(in_tab, lin * K + rank, ncells * K)  # OOB -> dropped
+    slot_s = jnp.where(in_tab_s, lin_s * K + rank_s, ncells * K)
 
     payload = jnp.concatenate(
         [
@@ -101,38 +103,50 @@ def build_cell_table(
         axis=1,
     )
     # Measured on TPU v5e: XLA row *gathers* cost ~10 ns per row regardless
-    # of width, while row scatters cost ~9 ns per ELEMENT.  So when the
-    # table has fewer rows than 8x the particle count, it is cheaper to
-    # scatter only each particle's index (1 element) and then row-gather the
-    # payload into the dense table; otherwise scatter payload rows directly.
+    # of width, while row scatters cost ~9 ns per ELEMENT.  Scatter each
+    # particle's *index* (1 element, sorted order) and row-gather the
+    # payload into the dense table; when the table has many more rows than
+    # particles, scatter payload rows directly instead.
+    src = (
+        jnp.full(ncells * K, n, jnp.int32)
+        .at[slot_s]
+        .set(perm, mode="drop", unique_indices=True)
+    )
     if ncells * K < 7 * n:
-        src = (
-            jnp.full(ncells * K, n, jnp.int32)
-            .at[slot]
-            .set(idx, mode="drop", unique_indices=True)
-        )
         payload_ext = jnp.concatenate(
             [payload, jnp.zeros((1, 8), jnp.float32)], axis=0
         )
         slots = payload_ext[src].reshape(nx, ny, nz, K, 8)
     else:
+        payload_s = payload[perm]  # row-gather (cheap)
         slots = (
             jnp.zeros((ncells * K, 8), jnp.float32)
-            .at[slot]
-            .set(payload, mode="drop", unique_indices=True)
+            .at[slot_s]
+            .set(payload_s, mode="drop", unique_indices=True)
             .reshape(nx, ny, nz, K, 8)
         )
     # Relayout to z-minor (one cheap transpose; consumers get 128-lane rows).
     slots = slots.transpose(0, 1, 3, 4, 2)
 
-    n_overflow = (~in_tab).sum().astype(jnp.int32)
-    (overflow_idx,) = jnp.nonzero(
-        ~in_tab, size=min(overflow_cap, n), fill_value=n
+    n_overflow = (n - in_tab_s.sum()).astype(jnp.int32)
+    cap = min(overflow_cap, n)
+
+    def find_overflow(_):
+        # Overflow particles are the sorted tail of each run: their original
+        # indices are perm[rank_s >= K].
+        (pos_s,) = jnp.nonzero(~in_tab_s, size=cap, fill_value=n)
+        return jnp.where(pos_s < n, perm[jnp.minimum(pos_s, n - 1)], n).astype(jnp.int32)
+
+    overflow_idx = jax.lax.cond(
+        n_overflow > 0,
+        find_overflow,
+        lambda _: jnp.full(cap, n, jnp.int32),
+        operand=None,
     )
     return CellTable(
         slots=slots,
         n_overflow=n_overflow,
-        overflow_idx=overflow_idx.astype(jnp.int32),
+        overflow_idx=overflow_idx,
     )
 
 

@@ -24,7 +24,7 @@ correction stay in XLA (cheap).
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.config import SimConfig
-from ..core.lcg import minstd_uniform_stream
+
 from ..core.seeding import dam_break_particles
 
 

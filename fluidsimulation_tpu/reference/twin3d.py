@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.config import SimConfig
-from .solver3d import interp_mac
+
 
 FAR = 1.0e9
 

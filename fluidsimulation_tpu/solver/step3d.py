@@ -59,7 +59,7 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
         seed_closest_from_table,
         seed_overflow_correction,
     )
-    from ..ops.levelset import FAR, neighborhood_pass, seed_closest, sweep_closest
+    from ..ops.levelset import FAR, neighborhood_pass, sweep_closest
 
     pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt, packed=fast)
     vel = state.vel
