@@ -1,30 +1,26 @@
 """Pallas TPU kernel: P2G transfer over VMEM-resident cell-table tiles.
 
-STATUS: semantics verified (interpret-mode test matches the XLA path to
-3e-8), but NOT wired into the default step — on this environment's tunneled
-TPU runtime, *any* kernel using manual `make_async_copy` from an ANY-space
-input with dynamic slices crashes the TPU worker (reproduced with a minimal
-halo-DMA kernel; likely a libtpu/tunnel issue, see CLAUDE.md).  Re-evaluate
-on a direct-attached TPU runtime; projected win is ~5x on the P2G stage.
-
 The XLA formulation (ops/celltable.p2g_from_table) streams the dense cell
 table from HBM once per neighborhood offset; measured effective bandwidth is
-poor (~130 GB/s) because the (x, y)-shifted windows defeat fusion.  This
-kernel tiles the (padded) table over (x, y), DMAs each halo tile into VMEM
-once, and accumulates all 27 offsets x 3 components locally — table traffic
-drops to ~1 read of each field (plus halo overlap).
+poor because the (x, y)-shifted windows defeat fusion.  This kernel tiles
+the (pre-padded) table over (x, y) with *overlapping halo blocks* —
+``pl.Element``-indexed BlockSpecs, auto-pipelined by Pallas — and
+accumulates all 27 offsets x 3 components from VMEM.  Each table field is
+read ~once (plus halo overlap) instead of ~27 times.
+
+(A first version used manual `make_async_copy` halo DMA; that pattern
+crashes this environment's tunneled TPU runtime — see CLAUDE.md.  The
+Element-indexed formulation compiles and runs natively.)
 
 Inputs are the table's fields pre-split into 7 arrays (px, py, pz, vx, vy,
-vz, present), each zero-padded to (nx+2, ny+2, K, nz+2).  Outputs are
-*cell-indexed* accumulators (see p2g_from_table_fused): acc[a][c] is the
-unnormalized face value at staggered index c+1 of component a, amt[a][c] the
-weight sum.  Normalization, boundary faces, validity, and the overflow
-correction stay in XLA (cheap).
+vz, present), zero-padded to (nx+2, ny+2, K, nz+2).  Outputs are
+*cell-indexed* accumulators (see celltable.p2g_from_table_fused): acc[a][c]
+is the unnormalized face value at staggered index c+1 of component a,
+amt[a][c] the weight sum.  Normalization, boundary faces, validity, and the
+overflow correction stay in XLA (cheap).
 """
 
 from __future__ import annotations
-
-
 
 import jax
 import jax.numpy as jnp
@@ -35,92 +31,53 @@ from ..core.config import SimConfig
 
 
 def p2g_accumulate_pallas(cfg: SimConfig, slots, tx: int = 4, ty: int = 8):
-    # ty must be a multiple of 8 (output block sublane constraint).
     """slots: (nx, ny, K, 8, nz) table.  Returns (accs, amts): two lists of
-    three (nx, ny, nz) cell-indexed accumulator grids."""
+    three (nx, ny, nz) cell-indexed accumulator grids.
+
+    ty must be a multiple of 8 (output block sublane constraint); grid tiles
+    are (tx, ty) over the cell grid.
+    """
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     K = slots.shape[2]
     assert nx % tx == 0 and ny % ty == 0
 
-    # Pre-split and pad fields (dense, cheap).  The minor dim is padded up
-    # to a multiple of 128 lanes: DMA slices must be lane-aligned.
-    zpad = -(-(nz + 2) // 128) * 128
-    fields = [slots[:, :, :, i, :] for i in range(7)]
     fields = [
-        jnp.pad(f, ((1, 1), (1, 1), (0, 0), (1, zpad - nz - 1)))
-        for f in fields
-    ]  # (nx+2, ny+2, K, zpad)
+        jnp.pad(slots[:, :, :, i, :], ((1, 1), (1, 1), (0, 0), (1, 1)))
+        for i in range(7)
+    ]  # each (nx+2, ny+2, K, nz+2)
 
     def kernel(*refs):
-        # refs: 7 inputs (HBM) + 6 outputs (VMEM blocks) + scratch (7 VMEM
-        # tiles + 7 DMA semaphores)
         ins = refs[:7]
         outs = refs[7:13]
-        tiles = refs[13:20]
-        sems = refs[20]
-
         i = pl.program_id(0)
         j = pl.program_id(1)
-        x0 = pl.multiple_of(i * tx, tx)
-        y0 = pl.multiple_of(j * ty, ty)
+        x0 = jnp.asarray(i * tx, jnp.float32)
+        y0 = jnp.asarray(j * ty, jnp.float32)
 
-        # DMA the halo tile of each field into VMEM.
-        for f in range(7):
-            pltpu.make_async_copy(
-                ins[f].at[pl.ds(x0, tx + 2), pl.ds(y0, ty + 2)],
-                tiles[f],
-                sems.at[f],
-            ).start()
-        for f in range(7):
-            pltpu.make_async_copy(
-                ins[f].at[pl.ds(x0, tx + 2), pl.ds(y0, ty + 2)],
-                tiles[f],
-                sems.at[f],
-            ).wait()
+        px, py, pz, vx, vy, vz, pres = [r[:] for r in ins]
 
-        px, py, pz, vx, vy, vz, pres = [t[:] for t in tiles]
+        # Absolute cell coordinates of the output tile, broadcast over
+        # (tx, ty, 1, nz).
+        fx = x0 + jax.lax.broadcasted_iota(jnp.int32, (tx, ty, 1, nz), 0).astype(jnp.float32)
+        fy = y0 + jax.lax.broadcasted_iota(jnp.int32, (tx, ty, 1, nz), 1).astype(jnp.float32)
+        fz = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, 1, nz), 3).astype(jnp.float32)
 
-        # Cell coordinates of the OUTPUT tile (absolute), broadcast over
-        # (tx, ty, K, nz).
-        # Mosaic iota must be integer-typed; convert after.
-        fx = jnp.asarray(x0, jnp.float32) + jax.lax.broadcasted_iota(
-            jnp.int32, (tx, ty, 1, nz), 0
-        ).astype(jnp.float32)
-        fy = jnp.asarray(y0, jnp.float32) + jax.lax.broadcasted_iota(
-            jnp.int32, (tx, ty, 1, nz), 1
-        ).astype(jnp.float32)
-        fz = jax.lax.broadcasted_iota(jnp.int32, (tx, ty, 1, nz), 3).astype(
-            jnp.float32
-        )
-
-        for a in range(3):
-            outs[2 * a][:] = jnp.zeros((tx, ty, nz), jnp.float32)
-            outs[2 * a + 1][:] = jnp.zeros((tx, ty, nz), jnp.float32)
-
+        acc = [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+        amt = [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
         vel3 = (vx, vy, vz)
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 for dz in (-1, 0, 1):
-                    # Window of the halo tile aligned with the output tile,
-                    # shifted by (dx, dy, dz); the padded input absorbs the
-                    # z shift (nz+2 minor lanes).
                     sl = (
                         slice(1 + dx, 1 + dx + tx),
                         slice(1 + dy, 1 + dy + ty),
                         slice(None),
                         slice(1 + dz, 1 + dz + nz),
                     )
-                    wpx = px[sl]
-                    wpy = py[sl]
-                    wpz = pz[sl]
-                    wpres = pres[sl]
-                    # Hat weights vs normal (cell) and staggered (cell+0.5)
-                    # face coordinates; positions are absolute cell units.
-                    rels = (wpx - fx, wpy - fy, wpz - fz)
+                    rels = (px[sl] - fx, py[sl] - fy, pz[sl] - fz)
                     wn = [jnp.maximum(0.0, 1.0 - jnp.abs(r)) for r in rels]
-                    ws = [
-                        jnp.maximum(0.0, 1.0 - jnp.abs(r - 0.5)) for r in rels
-                    ]
+                    ws = [jnp.maximum(0.0, 1.0 - jnp.abs(r - 0.5)) for r in rels]
+                    wpres = pres[sl]
                     d = (dx, dy, dz)
                     for a in range(3):
                         if d[a] not in (0, 1):
@@ -128,34 +85,28 @@ def p2g_accumulate_pallas(cfg: SimConfig, slots, tx: int = 4, ty: int = 8):
                         wgt = wpres
                         for ax in range(3):
                             wgt = wgt * (ws[ax] if ax == a else wn[ax])
-                        velc = vel3[a][sl]
-                        outs[2 * a][:] = outs[2 * a][:] + (wgt * velc).sum(2)
-                        outs[2 * a + 1][:] = outs[2 * a + 1][:] + wgt.sum(2)
+                        acc[a] = acc[a] + (wgt * vel3[a][sl]).sum(2)
+                        amt[a] = amt[a] + wgt.sum(2)
+        for a in range(3):
+            outs[2 * a][:] = acc[a]
+            outs[2 * a + 1][:] = amt[a]
 
-    grid = (nx // tx, ny // ty)
-    out_shape = []
-    out_specs = []
-    for _ in range(6):
-        out_shape.append(jax.ShapeDtypeStruct((nx, ny, nz), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec(
-                (tx, ty, nz),
-                lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-
+    in_spec = pl.BlockSpec(
+        (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(K), pl.Element(nz + 2)),
+        lambda i, j: (i * tx, j * ty, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (tx, ty, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
-        out_shape=tuple(out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
-        out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((tx + 2, ty + 2, K, zpad), jnp.float32)
-            for _ in range(7)
-        ]
-        + [pltpu.SemaphoreType.DMA((7,))],
+        grid=(nx // tx, ny // ty),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nx, ny, nz), jnp.float32) for _ in range(6)
+        ),
+        in_specs=[in_spec] * 7,
+        out_specs=(out_spec,) * 6,
         interpret=jax.default_backend() != "tpu",
     )(*fields)
     accs = [outs[0], outs[2], outs[4]]
