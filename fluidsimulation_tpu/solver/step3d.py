@@ -3,15 +3,16 @@
 Composes the op set in the order of GPFluidSim::Simulate
 (Simulation.cpp:513-566):
 
-  advect -> [bin] -> level set (seed + 24 sweeps) -> P2G -> extrapolate
-  -> snapshot old grids -> gravity -> project (RHS/diag/SOR x100/apply)
-  -> FLIP blend -> blur phi
+  advect -> cell table (bin/count/prefix-sum equivalent) -> level set
+  (seed + 24 sweeps) -> P2G -> extrapolate -> snapshot old grids -> gravity
+  -> project (RHS/diag/SOR x100/apply) -> FLIP blend -> blur phi
 
 Everything runs under one ``jax.jit``: XLA program order replaces the
 reference's dispatch-order synchronization, the old-grid snapshot is just a
 value binding (no CopyResource), and the reference's 52 ms host prefix-sum
-round-trip (Simulation.cpp:657) does not exist — binning is a device-side
-cumsum (ops/binning.py).
+round-trip (Simulation.cpp:657) does not exist — particle->cell indexing is
+one device-side sort (ops/celltable.py; ops/binning.py exposes the classic
+counting-sort form).
 """
 
 from __future__ import annotations
@@ -65,20 +66,32 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     vel = state.vel
 
     if fast:
+        # Pallas tile kernels (Element-indexed VMEM halo blocks) on
+        # single-chip TPU; XLA formulations elsewhere (CPU tests,
+        # GSPMD-sharded runs where pallas_call can't auto-partition).
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and cfg.nx % 8 == 0
+            and cfg.ny % 8 == 0
+            and cfg.nz % 8 == 0
+            and len(jax.devices()) == 1
+        )
         table = build_cell_table(cfg, pos, vel)
         phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
         phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
-        phi, cpos = neighborhood_pass(cfg, cpos0)
-        phi, _ = sweep_closest(cfg, phi, cpos)
-        # Pallas tile kernel for P2G on single-chip TPU (Element-indexed
-        # halo blocks, ~1.3x the XLA path); the XLA path elsewhere (CPU
-        # tests, GSPMD-sharded runs where pallas_call can't auto-partition).
-        if (
-            jax.default_backend() == "tpu"
-            and cfg.nx % 4 == 0
-            and cfg.ny % 8 == 0
-            and len(jax.devices()) == 1
-        ):
+        if use_pallas:
+            from ..ops.pallas_seed import neighborhood_pass_pallas
+
+            phi, cpos = neighborhood_pass_pallas(cfg, cpos0)
+        else:
+            phi, cpos = neighborhood_pass(cfg, cpos0)
+        if use_pallas:
+            from ..ops.pallas_sweep import sweep_closest_pallas
+
+            phi, _ = sweep_closest_pallas(cfg, phi, cpos)
+        else:
+            phi, _ = sweep_closest(cfg, phi, cpos)
+        if use_pallas:
             from ..ops.pallas_p2g import p2g_from_table_pallas
 
             u, v, w, uv, vv, wv = p2g_from_table_pallas(cfg, table, pos, vel)

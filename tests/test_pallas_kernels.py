@@ -1,0 +1,37 @@
+"""Interpret-mode parity for the Pallas kernels used by the TPU fast path
+(sweeps + neighborhood pass; P2G is covered in test_pallas_p2g.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.seeding import dam_break_particles
+from fluidsimulation_tpu.ops import levelset as ls
+from fluidsimulation_tpu.ops.pallas_seed import neighborhood_pass_pallas
+from fluidsimulation_tpu.ops.pallas_sweep import sweep_closest_pallas
+
+CFG = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0)
+
+
+def _seeded():
+    pos, _ = dam_break_particles(CFG)
+    return ls.seed_closest(CFG, jnp.asarray(pos))
+
+
+def test_pallas_sweeps_match_scan():
+    phi0, cpos0 = _seeded()
+    a_phi, a_cpos = ls.sweep_closest(CFG, phi0, cpos0)
+    b_phi, b_cpos = sweep_closest_pallas(CFG, phi0, cpos0)
+    np.testing.assert_allclose(np.asarray(a_phi), np.asarray(b_phi), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_cpos), np.asarray(b_cpos), atol=2e-6)
+
+
+def test_pallas_neighborhood_matches_xla():
+    _, cpos0 = _seeded()
+    # seed_closest already applied the pass once; apply again on its output
+    # as a pure function check.
+    a_phi, a_cpos = ls.neighborhood_pass(CFG, cpos0)
+    b_phi, b_cpos = neighborhood_pass_pallas(CFG, cpos0)
+    np.testing.assert_allclose(np.asarray(a_phi), np.asarray(b_phi), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_cpos), np.asarray(b_cpos), atol=2e-6)
