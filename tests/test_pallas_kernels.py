@@ -27,6 +27,17 @@ def test_pallas_sweeps_match_scan():
     np.testing.assert_allclose(np.asarray(a_cpos), np.asarray(b_cpos), atol=2e-6)
 
 
+def test_pallas_sweeps_non_cubic():
+    """Non-cubic grids exercise the axis-permutation plumbing."""
+    cfg = SimConfig(nx=16, ny=24, nz=32, cells_per_meter=16.0)
+    pos, _ = dam_break_particles(cfg)
+    phi0, cpos0 = ls.seed_closest(cfg, jnp.asarray(pos))
+    a_phi, a_cpos = ls.sweep_closest(cfg, phi0, cpos0)
+    b_phi, b_cpos = sweep_closest_pallas(cfg, phi0, cpos0)
+    np.testing.assert_allclose(np.asarray(a_phi), np.asarray(b_phi), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_cpos), np.asarray(b_cpos), atol=2e-6)
+
+
 def test_pallas_neighborhood_matches_xla():
     _, cpos0 = _seeded()
     # seed_closest already applied the pass once; apply again on its output
