@@ -66,11 +66,11 @@ def main():
     phi, cpos = timeit("sweep_closest(24)", J(levelset.sweep_closest), cfg, phi0, cpos0)
     tg = timeit("p2g transfer", J(p2g.transfer_to_grid), cfg, bpos, bvel)
     gu, gv, gw, uv, vv, wv = tg
-    timeit("extrapolate x3", lambda u_, uv_, v_, vv_, w_, wv_: (
+    timeit("extrapolate x3", jax.jit(lambda u_, uv_, v_, vv_, w_, wv_: (
         extrapolate.extrapolate_one_ring(u_, uv_),
         extrapolate.extrapolate_one_ring(v_, vv_),
         extrapolate.extrapolate_one_ring(w_, wv_),
-    ), gu, uv, gv, vv, gw, wv)
+    )), gu, uv, gv, vv, gw, wv)
     timeit("add_gravity", J(forces.add_gravity), cfg, gv, dt)
     b = timeit("project_rhs", J(project.compute_rhs), cfg, gu, gv, gw, dt)
     diag = timeit("project_diag", J(project.compute_diag), cfg, phi)
