@@ -15,3 +15,13 @@ out = {k: np.asarray(getattr(state, k)) for k in ("pos", "vel", "u", "v", "w", "
 path = os.path.join("tests", "golden", "step16_r1.npz")
 np.savez_compressed(path, **out)
 print("wrote", path)
+
+# Golden rendered frame (tiny, CPU-deterministic).
+from fluidsimulation_tpu.render.camera import OrbitCamera
+from fluidsimulation_tpu.render.raytrace import render
+
+cam = OrbitCamera()
+co, right, up, fwd = cam.frame(48, 36)
+img = np.asarray(render(state.phi, co, right, up, fwd, 48, 36))
+np.savez_compressed(os.path.join("tests", "golden", "frame16_r1.npz"), img=img)
+print("wrote tests/golden/frame16_r1.npz")
