@@ -9,10 +9,9 @@ are hostile to TPU vectorization, and measured XLA gathers/scatters cost
 ~8 ns per element — the binned-list formulation is transaction-bound.
 
 Instead we build a dense per-cell table of up to K particles, stored as
-[pos(3), vel(3), present(1), pad] and laid out (nx, ny, K, 8, nz) — the z
-axis minor so every consumer's elementwise math runs on full 128-lane
-vectors (a K-minor layout measured ~4x slower).  Building it costs one
-key argsort + two bounded scatters; every consumer (level-set seeding, P2G
+[pos(3), vel(3), present(1), pad] and laid out (nx, ny, K, 8, nz) with the
+z axis minor (full 128-lane vectors for every consumer).  Building it costs
+one joint key sort plus one bounded index scatter; every consumer (seeding, P2G
 transfer) then becomes pure shifted-window arithmetic over dense arrays —
 zero gathers, zero scatters, full VPU utilization.
 
@@ -150,10 +149,26 @@ def build_cell_table(
     )
 
 
-def counts_from_table(table: CellTable):
+def counts_from_table(cfg: SimConfig, table: CellTable, pos=None):
     """Per-cell particle histogram (the reference's m_gpCounts grid,
-    gpCountParticles.hlsl) — table-present + overflow not included."""
-    return table.slots[:, :, :, 6, :].sum(axis=2).astype(jnp.int32)
+    gpCountParticles.hlsl).  Pass `pos` to also count overflow particles
+    (exact up to overflow_cap)."""
+    counts = table.slots[:, :, :, 6, :].sum(axis=2).astype(jnp.int32)
+    if pos is not None:
+        n = pos.shape[0]
+        ov = table.overflow_idx
+        live = ov < n
+        m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+        cell = cell_of(pos[jnp.where(live, ov, 0)] * m)
+        lin = (cell[:, 0] * cfg.ny + cell[:, 1]) * cfg.nz + cell[:, 2]
+        lin = jnp.where(live, lin, cfg.nx * cfg.ny * cfg.nz)
+        counts = (
+            counts.reshape(-1)
+            .at[lin]
+            .add(live.astype(jnp.int32), mode="drop")
+            .reshape(counts.shape)
+        )
+    return counts
 
 
 # ---------------------------------------------------------------------------

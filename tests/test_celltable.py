@@ -29,7 +29,7 @@ def _seeded():
 def test_table_build_counts():
     pos, vel = _seeded()
     table = ct.build_cell_table(CFG, pos, vel)
-    counts = np.asarray(ct.counts_from_table(table))
+    counts = np.asarray(ct.counts_from_table(CFG, table, pos))
     assert int(table.n_overflow) == 0
     # Dam break seeds 8 particles per interior right-half cell.
     m = np.array([CFG.nx, CFG.ny, CFG.nz], np.float32)
