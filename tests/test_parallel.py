@@ -46,3 +46,19 @@ def test_output_shardings_preserved(mesh):
         assert got_sh.is_equivalent_to(
             getattr(want, name), getattr(out, name).ndim
         ), name
+
+
+def test_shard_map_halo_sor_matches_single(mesh):
+    """Explicit ppermute-halo SOR == single-device SOR (SURVEY.md §5.8)."""
+    import jax.numpy as jnp
+
+    from fluidsimulation_tpu.ops import levelset, project
+    from fluidsimulation_tpu.parallel.halo import sor_pressure_sharded
+
+    state = step_jit(init_state(CFG), 0.01, CFG)
+    phi, _ = levelset.compute_level_set(CFG, state.pos)
+    diag = project.compute_diag(CFG, phi)
+    b = project.compute_rhs(CFG, state.u, state.v, state.w, jnp.float32(0.01))
+    want = project.sor_pressure(CFG, phi, diag, b, use_pallas=False)
+    got = sor_pressure_sharded(CFG, mesh, phi, diag, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
