@@ -19,7 +19,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # JAX >= 0.4.35: public API
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map
 
 from ..core.config import SimConfig
 
@@ -100,21 +104,38 @@ def _sor_local(cfg: SimConfig, iters, phi, diag, b):
     return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(b))
 
 
-def sor_pressure_sharded(
-    cfg: SimConfig, mesh: Mesh, phi, diag, b, iterations: int | None = None
-):
-    """Checkerboard SOR over an x-sharded grid with explicit halo exchange.
-    Equivalent to ops/project.sor_pressure(use_pallas=False)."""
-    iters = cfg.sor_iterations if iterations is None else iterations
+@functools.lru_cache(maxsize=None)
+def sor_sharded_fn(cfg: SimConfig, mesh: Mesh, iters: int):
+    """The shard_map'd SOR body for (cfg, mesh, iters) — built once per key
+    (lru_cache; Mesh is hashable).  Composable under an outer jit (the
+    sharded-step path calls it inside make_sharded_step's program)."""
     spec = P(AXIS, None, None)
-    fn = shard_map(
+    return shard_map(
         functools.partial(_sor_local, cfg, iters),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
     )
-    sh = NamedSharding(mesh, spec)
-    phi = jax.device_put(phi, sh)
-    diag = jax.device_put(diag, sh)
-    b = jax.device_put(b, sh)
-    return jax.jit(fn)(phi, diag, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _sor_sharded_jit(cfg: SimConfig, mesh: Mesh, iters: int):
+    return jax.jit(sor_sharded_fn(cfg, mesh, iters))
+
+
+def sor_pressure_sharded(
+    cfg: SimConfig, mesh: Mesh, phi, diag, b, iterations: int | None = None
+):
+    """Checkerboard SOR over an x-sharded grid with explicit halo exchange.
+    Equivalent to ops/project.sor_pressure(use_pallas=False).
+
+    Inputs should already be placed with an x-sharded NamedSharding (see
+    ``x_sharding``); placement is the caller's job so this composes — the
+    jitted shard_map is cached per (cfg, mesh, iters), no retrace per call."""
+    iters = cfg.sor_iterations if iterations is None else iterations
+    return _sor_sharded_jit(cfg, mesh, iters)(phi, diag, b)
+
+
+def x_sharding(mesh: Mesh) -> NamedSharding:
+    """The placement sor_pressure_sharded expects: block-sharded along x."""
+    return NamedSharding(mesh, P(AXIS, None, None))

@@ -104,10 +104,17 @@ _SEG = 31
 _LANES = 32
 
 
+@jax.tree_util.register_pytree_node_class
 class PackedPhi:
-    """Packed (4 x 32)-row representation of a cell-centered texture."""
+    """Packed (4 x 32)-row representation of a cell-centered texture.
 
-    def __init__(self, phi):
+    Registered as a pytree so a pre-built texture can cross jit boundaries
+    (e.g. pack once, render many bands)."""
+
+    def __init__(self, phi=None, *, rows=None, dims=None, ns=None):
+        if phi is None:  # tree_unflatten path
+            self.rows, self.dims, self.ns = rows, dims, ns
+            return
         nx, ny, nz = phi.shape
         self.dims = (nx, ny, nz)
         self.ns = (nz - 2) // _SEG + 1
@@ -130,6 +137,11 @@ class PackedPhi:
 
     def tree_flatten(self):
         return (self.rows,), (self.dims, self.ns)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dims, ns = aux
+        return cls(rows=children[0], dims=dims, ns=ns)
 
 
 def sample_phi_packed(tex: PackedPhi, p):

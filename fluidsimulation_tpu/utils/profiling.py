@@ -104,27 +104,68 @@ def _jitted(fn):
     return jax.jit(fn, static_argnums=0)
 
 
-def _seed_stage(cfg, table, pos):
+@functools.lru_cache(maxsize=None)
+def _jitted2(fn):
+    """As _jitted, with (cfg, use_pallas) both static."""
+    return jax.jit(fn, static_argnums=(0, 1))
+
+
+def _seed_stage(cfg, use_pallas, table, pos):
     from ..ops import celltable, levelset
 
     phi0, cpos0 = celltable.seed_closest_from_table(cfg, table, levelset.FAR)
     phi0, cpos0 = celltable.seed_overflow_correction(cfg, table, pos, phi0, cpos0)
+    if use_pallas:
+        from ..ops.pallas_seed import neighborhood_pass_pallas
+
+        return neighborhood_pass_pallas(cfg, cpos0)
     return levelset.neighborhood_pass(cfg, cpos0)
 
 
-def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StageProfiler]:
+def _sweep_stage(cfg, use_pallas, phi, cpos):
+    if use_pallas:
+        from ..ops.pallas_sweep import sweep_closest_pallas
+
+        return sweep_closest_pallas(cfg, phi, cpos)
+    from ..ops import levelset
+
+    return levelset.sweep_closest(cfg, phi, cpos)
+
+
+def _p2g_stage(cfg, use_pallas, table, pos, vel):
+    if use_pallas:
+        from ..ops.pallas_p2g import p2g_from_table_pallas
+
+        return p2g_from_table_pallas(cfg, table, pos, vel)
+    from ..ops import celltable
+
+    return celltable.p2g_from_table(cfg, table, pos, vel)
+
+
+def profile_step(
+    state: SimState, dt, cfg: SimConfig, render_fn=None, fast: bool = True
+) -> tuple[SimState, StageProfiler]:
     """Run one step stage-by-stage with per-stage timing.
 
     Stage boundaries follow GPFluidSim::Simulate's TimestampComplete calls
-    (Simulation.cpp:513-566).  Because stages are separately dispatched (and
-    each timed fetch pays the host round-trip), the totals here exceed the
-    fused-step time — use for relative attribution, like the reference's
-    RenderDoc captures.
+    (Simulation.cpp:513-566), and each stage runs the SAME kernel variant the
+    fused step picks (Pallas tile kernels on single-chip TPU, XLA elsewhere —
+    solver.step3d.use_pallas_kernels), so attribution matches reality.
+    Because stages are separately dispatched (and each timed fetch pays the
+    host round-trip), the totals here exceed the fused-step time — use for
+    relative attribution, like the reference's RenderDoc captures.
+
+    ``render_fn(state) -> image``, if given, is timed as DRAW — the
+    reference's 30 fps number includes DrawScene (FluidSimDemo.cpp:175-208).
+    END_FRAME times the final full-state fetch (the reference's blocking
+    profiler collect, GPUProfiler.cpp:49-84).
     """
-    from ..ops import advect, blur, celltable, extrapolate, flip, forces, levelset, project
+    from ..ops import advect, blur, celltable, extrapolate, flip, forces, project
+    from ..solver.step3d import pic_flip_alpha, use_pallas_kernels
 
     prof = StageProfiler()
     dt = jnp.float32(dt)
+    use_pallas = fast and use_pallas_kernels(cfg)
 
     pos = prof.timed(
         "ADVECT", _jitted(advect.advect_rk3),
@@ -138,16 +179,16 @@ def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StagePr
         cfg, pos, vel,
     )
     phi0, cpos0 = prof.timed(
-        "TRANSFERPTG_LEVELSET_ZERO", _jitted(_seed_stage),
-        cfg, table, pos,
+        "TRANSFERPTG_LEVELSET_ZERO", _jitted2(_seed_stage),
+        cfg, use_pallas, table, pos,
     )
     phi, _ = prof.timed(
-        "TRANSFERPTG_LEVELSET_SWEEP", _jitted(levelset.sweep_closest),
-        cfg, phi0, cpos0,
+        "TRANSFERPTG_LEVELSET_SWEEP", _jitted2(_sweep_stage),
+        cfg, use_pallas, phi0, cpos0,
     )
     u, v, w, uv, vv, wv = prof.timed(
-        "TRANSFERPTG_VELOCITY", _jitted(celltable.p2g_from_table),
-        cfg, table, pos, vel,
+        "TRANSFERPTG_VELOCITY", _jitted2(_p2g_stage),
+        cfg, use_pallas, table, pos, vel,
     )
     ex = _jitted_nostatic(extrapolate.extrapolate_one_ring)
     u = prof.timed("TRANSFERPTG_VELOCITY_EXTRAPOLATE", lambda: (ex(u, uv)))
@@ -173,8 +214,6 @@ def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StagePr
         "PROJECT_TOVELOCITY", _jitted(project.apply_pressure),
         cfg, u, v, w, p, phi, dt,
     )
-    from ..solver.step3d import pic_flip_alpha
-
     alpha = pic_flip_alpha(cfg, dt)
     vel = prof.timed(
         "FLIP_APPLY", _jitted(flip.flip_update),
@@ -183,4 +222,7 @@ def profile_step(state: SimState, dt, cfg: SimConfig) -> tuple[SimState, StagePr
     phi = prof.timed("BLURLEVELSET", _jitted_nostatic(blur.blur_phi), phi)
 
     new_state = SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi)
+    if render_fn is not None:
+        prof.timed("DRAW", render_fn, new_state)
+    prof.timed("END_FRAME", lambda: new_state)
     return new_state, prof

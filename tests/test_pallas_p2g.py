@@ -1,9 +1,9 @@
 """Pallas P2G tile kernel vs the XLA cell-table path (interpret mode).
 
-The kernel is not wired into the default step: the tunneled TPU runtime in
-this environment crashes on manual-DMA kernels (see module docstring and
-CLAUDE.md).  Its semantics are locked down here so it can be enabled the
-moment the runtime allows.
+The kernel IS wired into the default fast step on single-chip TPU
+(solver/step3d.py::use_pallas_kernels); the CPU suite locks down its
+semantics in interpret mode, and tests/test_tpu_kernels.py compile-smokes
+the Mosaic path when a real TPU is present.
 """
 
 import numpy as np

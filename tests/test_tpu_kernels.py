@@ -1,0 +1,93 @@
+"""TPU-gated Pallas kernel regression tests (VERDICT r1 weak #6).
+
+The CPU suite exercises every Pallas kernel in interpret mode only, so a
+Mosaic compile/runtime regression would otherwise surface first in bench.
+These tests compile and run each kernel natively; they skip unless the
+backend is a real TPU (the normal CPU suite skips them all).
+
+Run on TPU with:  JAX_PLATFORMS='' python -m pytest tests/test_tpu_kernels.py
+(conftest.py forces CPU for the rest of the suite; this module re-checks the
+actual backend at runtime.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.state import init_state
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+
+CFG = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0)
+
+
+@pytest.fixture(scope="module")
+def table_state():
+    from fluidsimulation_tpu.ops.celltable import build_cell_table
+
+    state = init_state(CFG)
+    table = build_cell_table(CFG, state.pos, state.vel)
+    return state, table
+
+
+@requires_tpu
+def test_tpu_pallas_p2g(table_state):
+    from fluidsimulation_tpu.ops import celltable as ct
+    from fluidsimulation_tpu.ops.pallas_p2g import p2g_from_table_pallas
+
+    state, table = table_state
+    got = p2g_from_table_pallas(CFG, table, state.pos, state.vel)
+    want = ct.p2g_from_table(CFG, table, state.pos, state.vel)
+    for g, w in zip(got[:3], want[:3]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+
+@requires_tpu
+def test_tpu_pallas_seed_and_sweep(table_state):
+    from fluidsimulation_tpu.ops import celltable as ct
+    from fluidsimulation_tpu.ops import levelset
+    from fluidsimulation_tpu.ops.pallas_seed import neighborhood_pass_pallas
+    from fluidsimulation_tpu.ops.pallas_sweep import sweep_closest_pallas
+
+    state, table = table_state
+    phi0, cpos0 = ct.seed_closest_from_table(CFG, table, levelset.FAR)
+    got_phi, got_cpos = neighborhood_pass_pallas(CFG, cpos0)
+    want_phi, want_cpos = levelset.neighborhood_pass(CFG, cpos0)
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want_phi), atol=1e-5)
+
+    got_sw, _ = sweep_closest_pallas(CFG, got_phi, got_cpos)
+    want_sw, _ = levelset.sweep_closest(CFG, want_phi, want_cpos)
+    np.testing.assert_allclose(np.asarray(got_sw), np.asarray(want_sw), atol=1e-5)
+
+
+@requires_tpu
+def test_tpu_pallas_sor():
+    from fluidsimulation_tpu.ops import levelset, project
+    from fluidsimulation_tpu.ops.pallas_sor import sor_pressure_pallas
+    from fluidsimulation_tpu.solver.step3d import step_jit
+
+    state = step_jit(init_state(CFG), 0.01, CFG)
+    phi, _ = levelset.compute_level_set(CFG, state.pos)
+    diag = project.compute_diag(CFG, phi)
+    b = project.compute_rhs(CFG, state.u, state.v, state.w, jnp.float32(0.01))
+    got = sor_pressure_pallas(CFG, phi, diag, b, interpret=False)
+    want = project.sor_pressure(CFG, phi, diag, b, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@requires_tpu
+def test_tpu_fused_step_runs():
+    """The full fast step (all Pallas kernels wired) compiles and stays
+    finite on the native backend."""
+    from fluidsimulation_tpu.solver.step3d import step_jit
+
+    state = init_state(CFG)
+    for _ in range(3):
+        state = step_jit(state, 0.01, CFG)
+    assert np.isfinite(np.asarray(state.vel)).all()
+    assert np.isfinite(np.asarray(state.pos)).all()
