@@ -96,7 +96,7 @@ def map_dist(phi, p):
 # Measured on TPU v5e, XLA gathers cost ~8 ns per transaction regardless of
 # size up to ~512 B, so the 8-element-gather trilerp above is transaction
 # bound (the raymarcher issues hundreds of map() calls per pixel).  Like
-# core/interp_packed.py, we pre-pack phi so one 128-lane row gather fetches a
+# core/interp_combined.py, we pre-pack phi so one 128-lane row gather fetches a
 # query's whole (2 x 2 x 32) neighborhood, and the z-lerp becomes a lane-hat
 # reduction.  ~7x fewer memory transactions per map() call.
 
