@@ -54,6 +54,29 @@ def main():
     steps_per_sec = n_steps / elapsed
     assert np.isfinite(np.asarray(state.vel)).all(), "NaN in benchmark run"
 
+    # Render throughput at the same 128^3 phi (the reference's 30 fps number
+    # includes DrawScene, FluidSimDemo.cpp:175-208): one 800x600 frame.
+    from fluidsimulation_tpu.render.camera import OrbitCamera
+    from fluidsimulation_tpu.render.raytrace import render
+
+    co, right, up, fwd = OrbitCamera().frame(800, 600)
+
+    def draw(phi):
+        img = render(phi, co, right, up, fwd, 800, 600, band_rows=64)
+        jax.block_until_ready(img)
+        jax.device_get(img.ravel()[0])
+        return img
+
+    draw(state.phi)  # compile
+    n_frames = 3
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img = draw(state.phi)
+    render_s = (time.perf_counter() - t0) / n_frames
+    assert np.isfinite(np.asarray(img)).all(), "NaN in rendered frame"
+
+    sim_render_fps = 1.0 / (1.0 / steps_per_sec + render_s)
+
     print(
         json.dumps(
             {
@@ -61,6 +84,8 @@ def main():
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 30.0, 3),
+                "render_ms_800x600": round(1000.0 * render_s, 1),
+                "sim_render_fps": round(sim_render_fps, 3),
             }
         )
     )

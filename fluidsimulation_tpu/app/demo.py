@@ -157,22 +157,37 @@ def main(argv=None):
 
         dt = clamp_dt(cfg, args.dt, rate)
         t0 = time.perf_counter()
+        do_render = args.render_every and (i % args.render_every == 0)
+        img_holder = []
+
+        def draw(s):
+            """DRAW stage (FluidSimDemo::DrawScene, timed like the
+            reference's DRAW profiler mark)."""
+            co, right, up, fwd = cam.frame(args.width, args.height)
+            img = render(
+                s.phi, co, right, up, fwd, args.width, args.height,
+                band_rows=64,
+            )
+            img_holder.append(np.asarray(img))
+            return img
+
         if args.profile:
-            state, prof = profile_step(state, dt, cfg)
+            state, prof = profile_step(
+                state, dt, cfg, render_fn=draw if do_render else None
+            )
             print(prof.table())
         else:
             state = step_jit(state, dt, cfg)
             state.pos.block_until_ready()
+            if do_render:
+                draw(state)
         meter.tick()
         step_ms = 1000 * (time.perf_counter() - t0)
 
-        if args.render_every and (i % args.render_every == 0):
-            co, right, up, fwd = cam.frame(args.width, args.height)
-            img = render(
-                state.phi, co, right, up, fwd, args.width, args.height,
-                band_rows=64,
+        if img_holder:
+            write_ppm(
+                os.path.join(args.out, f"frame_{i:05d}.ppm"), img_holder[0]
             )
-            write_ppm(os.path.join(args.out, f"frame_{i:05d}.ppm"), np.asarray(img))
 
         if i % 10 == 0:
             print(f"step {i}: {step_ms:.1f} ms  ({meter.summary()})")

@@ -1,9 +1,16 @@
 """Combined-key packed MAC interpolation — ONE row gather per query.
 
-Evolution of core/interp_packed.py (round-1 fast path: one 512 B row gather
-per *component* per query, i.e. 3 per stage).  Measured on TPU v5e, XLA
-gathers are transaction-bound (~5-10 ns per row, width nearly free up to
-~512 B), so the remaining 3x is fused into a single row:
+STATUS (round 2, measured on TPU v5e at 128^3/1M): NOT the production path.
+The single 256 B gather per stage is indeed cheaper than interp_packed's
+three 512 B gathers (13 ms vs ~22 ms per stage-set), but building this
+table costs ~28 ms per pack (the 51-lane minor-axis interleave defeats XLA
+vectorization; a major-stack + transpose variant is equally slow), vs ~5 ms
+for interp_packed's contiguous-z-run pack — so advect came out 136 ms vs
+the packed path's 44 ms.  Kept (with its exactness test) as a documented
+alternative: it becomes the right design if the pack ever moves on-chip
+(Pallas interleave in VMEM) or if the table is reused across more stages.
+
+Design: the 3-per-stage gathers of core/interp_packed.py fused into one row:
 
   key  = (iEI, iEJ, iK)  — the x/y *extended* indices and the z *normal*
          index of the query (all three derivable from the position alone);

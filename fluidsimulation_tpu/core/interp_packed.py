@@ -1,0 +1,185 @@
+"""Packed-row MAC interpolation — the TPU fast path.
+
+Motivation (measured on TPU v5e): XLA gathers cost ~8 ns per *transaction*
+regardless of size up to ~512 B, so the pointwise trilinear path (24 element
+gathers per query) is transaction-bound.  This module restructures each MAC
+grid so that one 128-lane row gather fetches everything a query needs for one
+component:
+
+  row = [4 (x,y)-corner segments] x [32-lane minor-axis window]
+
+and the minor-axis lerp becomes a *lane-hat reduction*: with the clamped
+minor coordinate q, sum(row * max(0, 1 - |q - lane|)) — which equals the
+reference's clamped lerp including its top-edge integer-decrement quirk
+(Simulation3D.h:70-75), since the hat has weight 1 on the lane at integral q.
+
+Per component per query: 1 row gather (512 B) + a 128-lane VPU reduction,
+i.e. 3 transactions per (query, stage) instead of 24 — ~6-8x faster than the
+pointwise path at 1M queries.
+
+W's minor grid axis is staggered (nz+1 lanes), so W is packed transposed
+with x as the lane axis (x is a 'normal' axis for W).
+
+Numerics are identical to core/interp.py (same clamp semantics); tests
+enforce bit-level agreement up to fma reassociation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Segment stride/width: windows of 32 lanes advancing by 31 so that any
+# (iK, iK+1) pair lies inside one segment.
+_S = 31
+_L = 32
+
+
+def _nseg(n_normal: int) -> int:
+    # i ranges over [0, n_normal-2]; segment = i // _S.
+    return (n_normal - 2) // _S + 1
+
+
+def _pad_minor(a, total: int):
+    pad = [(0, 0)] * a.ndim
+    pad[-1] = (0, total - a.shape[-1])
+    return jnp.pad(a, pad) if total > a.shape[-1] else a
+
+
+def _segments(a):
+    """(..., Z) -> (..., ns, L) overlapping windows at stride _S."""
+    n = a.shape[-1]
+    ns = (n - 2) // _S + 1
+    ap = _pad_minor(a, _S * (ns - 1) + _L)
+    return jnp.stack([ap[..., _S * s : _S * s + _L] for s in range(ns)], axis=-2)
+
+
+def pack_mac3(u, v, w):
+    """Build packed row tables (pu, pv, pw) from MAC grids."""
+    nx = u.shape[0] - 1
+    ny = v.shape[1] - 1
+    nz = w.shape[2] - 1
+
+    # U: x-corners iEI+{0,1} (iEI in [0,nx-1]); y-corners iJ+{0,1}
+    # (iJ in [0,ny-2]); minor z.
+    su = _segments(u)  # (nx+1, ny, ns, L)
+    pu = jnp.stack(
+        [
+            su[0:nx, 0 : ny - 1],
+            su[0:nx, 1:ny],
+            su[1 : nx + 1, 0 : ny - 1],
+            su[1 : nx + 1, 1:ny],
+        ],
+        axis=3,
+    )  # (nx, ny-1, ns, 4, L)
+    pu = pu.reshape(nx * (ny - 1) * pu.shape[2], 4 * _L)
+
+    # V: x-corners iI+{0,1} (iI in [0,nx-2]); y-corners iEJ+{0,1}
+    # (iEJ in [0,ny-1]); minor z.
+    sv = _segments(v)  # (nx, ny+1, ns, L)
+    pv = jnp.stack(
+        [
+            sv[0 : nx - 1, 0:ny],
+            sv[0 : nx - 1, 1 : ny + 1],
+            sv[1:nx, 0:ny],
+            sv[1:nx, 1 : ny + 1],
+        ],
+        axis=3,
+    )
+    pv = pv.reshape((nx - 1) * ny * pv.shape[2], 4 * _L)
+
+    # W: packed transposed (y, z, x) with x as lanes; y-corners iJ+{0,1},
+    # z-corners iEK+{0,1} (iEK in [0,nz-1]).
+    wt = jnp.transpose(w, (1, 2, 0))  # (ny, nz+1, nx)
+    sw = _segments(wt)  # (ny, nz+1, ns, L)
+    pw = jnp.stack(
+        [
+            sw[0 : ny - 1, 0:nz],
+            sw[0 : ny - 1, 1 : nz + 1],
+            sw[1:ny, 0:nz],
+            sw[1:ny, 1 : nz + 1],
+        ],
+        axis=3,
+    )
+    pw = pw.reshape((ny - 1) * nz * pw.shape[2], 4 * _L)
+    return pu, pv, pw
+
+
+def _split_normal(coord, m):
+    n = jnp.clip(coord, 0.0, m - 1.0)
+    i = jnp.minimum(jnp.floor(n), m - 2.0)
+    return i, n - i, n
+
+
+def _split_extended(coord, m):
+    e = jnp.clip(coord + 0.5, 0.0, m * 1.0)
+    i = jnp.minimum(jnp.floor(e), m - 1.0)
+    return i, e - i
+
+
+def _hat_reduce(rows, q, seg):
+    """rows: (N, 4, L); q: clamped minor coordinate; seg: segment index.
+    Returns (N, 4) minor-axis lerp via lane-hat weights."""
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, _L), 2)
+    zpos = jnp.float32(_S) * seg[:, None, None] + lane
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(q[:, None, None] - zpos))
+    return (rows * wz).sum(-1)
+
+
+def _corner_mix(zred, fa, fb):
+    w = jnp.stack(
+        [
+            (1 - fa) * (1 - fb),
+            (1 - fa) * fb,
+            fa * (1 - fb),
+            fa * fb,
+        ],
+        axis=-1,
+    )
+    return (zred * w).sum(-1)
+
+
+def interp_mac3_packed(pu, pv, pw, dims, pi, pj, pk):
+    """Interpolate using packed tables.  dims = (nx, ny, nz) static.
+
+    pi/pj/pk: flat (N,) cell-space coordinates.  Returns (uval, vval, wval).
+    """
+    nx, ny, nz = dims
+    ns = _nseg(nz)
+    nsx = _nseg(nx)
+
+    iI, fI, nI = _split_normal(pi, nx)
+    iJ, fJ, nJ = _split_normal(pj, ny)
+    iK, fK, nK = _split_normal(pk, nz)
+    iEI, fEI = _split_extended(pi, nx)
+    iEJ, fEJ = _split_extended(pj, ny)
+    iEK, fEK = _split_extended(pk, nz)
+
+    segz = (iK / _S).astype(jnp.int32)
+    segx = (iI / _S).astype(jnp.int32)
+
+    # U
+    key = (iEI.astype(jnp.int32) * (ny - 1) + iJ.astype(jnp.int32)) * ns + segz
+    rows = pu[key].reshape(-1, 4, _L)
+    uval = _corner_mix(_hat_reduce(rows, nK, segz.astype(jnp.float32)), fEI, fJ)
+
+    # V
+    key = (iI.astype(jnp.int32) * ny + iEJ.astype(jnp.int32)) * ns + segz
+    rows = pv[key].reshape(-1, 4, _L)
+    vval = _corner_mix(_hat_reduce(rows, nK, segz.astype(jnp.float32)), fI, fEJ)
+
+    # W (lanes = x)
+    key = (iJ.astype(jnp.int32) * nz + iEK.astype(jnp.int32)) * nsx + segx
+    rows = pw[key].reshape(-1, 4, _L)
+    wval = _corner_mix(_hat_reduce(rows, nI, segx.astype(jnp.float32)), fJ, fEK)
+
+    return uval, vval, wval
+
+
+def interp_mac3_packed_vec(pu, pv, pw, dims, pos_cells):
+    shape = pos_cells.shape[:-1]
+    flat = pos_cells.reshape(-1, 3)
+    uval, vval, wval = interp_mac3_packed(
+        pu, pv, pw, dims, flat[:, 0], flat[:, 1], flat[:, 2]
+    )
+    return jnp.stack([uval, vval, wval], axis=-1).reshape(*shape, 3)

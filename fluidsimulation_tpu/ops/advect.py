@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.interp import interp_mac3_vec
-from ..core.interp_combined import interp_mac3_combined_vec, pack_mac3_combined
+from ..core.interp_packed import interp_mac3_packed_vec, pack_mac3
 
 
 def advect_rk3(cfg: SimConfig, u, v, w, pos, dt, packed: bool = True):
@@ -23,13 +23,16 @@ def advect_rk3(cfg: SimConfig, u, v, w, pos, dt, packed: bool = True):
 
     if packed:
         # TPU fast path: pack the grids once, reuse across the 3 RK stages
-        # (core/interp_combined.py — ONE 256 B row gather per query per
-        # stage fetches all three components).
-        tab = pack_mac3_combined(u, v, w)
+        # (core/interp_packed.py — one 512 B row gather per component per
+        # stage; the 9 gathers pipeline to ~4.4 ns/row).  A combined-key
+        # single-gather variant (core/interp_combined.py) was measured
+        # SLOWER end-to-end: its 51-lane interleaved pack costs 28 ms at
+        # 128^3 vs this pack's ~5 ms, swamping the transaction savings.
+        pu, pv, pw = pack_mac3(u, v, w)
         dims = (cfg.nx, cfg.ny, cfg.nz)
 
         def vel_at(p):
-            return interp_mac3_combined_vec(tab, dims, p * m)
+            return interp_mac3_packed_vec(pu, pv, pw, dims, p * m)
 
     else:
 

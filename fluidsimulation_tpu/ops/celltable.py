@@ -57,40 +57,40 @@ class CellTable:
 def build_cell_table(
     cfg: SimConfig, pos, vel, k: int | None = None, overflow_cap: int = 4096
 ) -> CellTable:
+    """Measured-on-TPU-v5e design (round 2): XLA row gathers run at ~7-14 ns
+    per row when the row is 8 lanes or >= 64 lanes (intermediate widths are
+    3-5x slower), and row scatters cost ~9 ns per ELEMENT — so the build is
+    organized as three gathers and one small scatter:
+
+      1. one ``lax.sort`` of (cell key, index) pairs — grouping;
+      2. ``payload[perm]`` — 1 row gather (8 lanes) per particle;
+      3. per-cell START offsets — a 1-element scatter-min of run starts
+         plus a log-passes suffix fill (empty cells inherit the next start);
+      4. the dense table as ONE 64-lane row gather per CELL: a windowed view
+         ``win64[i] = sorted payload rows [i, i+8)`` (built with 8 cheap
+         shifted copies) makes each cell's <=K slots one contiguous row at
+         ``win64[start_c]`` — ncells rows instead of the round-1 form's
+         ncells*K rows (the single hottest op of the round-1 step).
+
+    Presence/overflow masking is dense arithmetic on the counts."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     K = default_k(cfg) if k is None else k
+    # Window width: 8 or 16 payload rows (64/128-lane gather rows — both in
+    # the fast-gather regime; 16-40 lane rows are 3-5x slower).
+    W = 8 if K <= 8 else 16
+    assert K <= W, "windowed build fetches at most 16 payload rows per cell"
     n = pos.shape[0]
+    ncells = nx * ny * nz
     m = jnp.array([nx, ny, nz], jnp.float32)
     pc = pos * m
     cell = cell_of(pc)
     lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
 
-    # Joint sort of (cell key, particle index): one lax.sort gives both the
-    # sorted keys and the permutation (cheaper than argsort + a gather of
-    # the keys).  Sorting by (lin, idx) lexicographically is equivalent to a
-    # stable sort by lin, which keeps within-cell slot order == original
-    # particle-index order (the reference's first-wins tie-break).
+    # Joint sort of (cell key, particle index): equivalent to a stable sort
+    # by cell, so within-cell slot order == original particle-index order
+    # (the reference's first-wins tie-break).
     idx = jnp.arange(n, dtype=jnp.int32)
     lin_s, perm = jax.lax.sort((lin, idx), num_keys=2)
-
-    # Rank within run: running max via manual doubling (Hillis-Steele) —
-    # same result as lax.associative_scan(jnp.maximum, ...) but ~30x faster
-    # to compile on TPU and equally fast to run.
-    changes = jnp.concatenate(
-        [jnp.ones(1, bool), lin_s[1:] != lin_s[:-1]]
-    )
-    run_start = jnp.where(changes, idx, 0)
-    k = 1
-    while k < n:
-        run_start = jnp.maximum(
-            run_start, jnp.pad(run_start, (k, 0))[:n]
-        )
-        k *= 2
-    rank_s = idx - run_start
-
-    in_tab_s = rank_s < K
-    ncells = nx * ny * nz
-    slot_s = jnp.where(in_tab_s, lin_s * K + rank_s, ncells * K)
 
     payload = jnp.concatenate(
         [
@@ -101,40 +101,49 @@ def build_cell_table(
         ],
         axis=1,
     )
-    # Measured on TPU v5e: XLA row *gathers* cost ~10 ns per row regardless
-    # of width, while row scatters cost ~9 ns per ELEMENT.  Scatter each
-    # particle's *index* (1 element, sorted order) and row-gather the
-    # payload into the dense table; when the table has many more rows than
-    # particles, scatter payload rows directly instead.
-    src = (
-        jnp.full(ncells * K, n, jnp.int32)
-        .at[slot_s]
-        .set(perm, mode="drop", unique_indices=True)
-    )
-    if ncells * K < 7 * n:
-        payload_ext = jnp.concatenate(
-            [payload, jnp.zeros((1, 8), jnp.float32)], axis=0
-        )
-        slots = payload_ext[src].reshape(nx, ny, nz, K, 8)
-    else:
-        payload_s = payload[perm]  # row-gather (cheap)
-        slots = (
-            jnp.zeros((ncells * K, 8), jnp.float32)
-            .at[slot_s]
-            .set(payload_s, mode="drop", unique_indices=True)
-            .reshape(nx, ny, nz, K, 8)
-        )
-    # Relayout to z-minor (one cheap transpose; consumers get 128-lane rows).
-    slots = slots.transpose(0, 1, 3, 4, 2)
+    payload_s = payload[perm]
 
-    n_overflow = (n - in_tab_s.sum()).astype(jnp.int32)
+    # Per-cell start offsets into the sorted order: scatter-min the first
+    # occurrence of each run, then fill empty cells backward with the next
+    # occupied start (suffix-min doubling).
+    changes = jnp.concatenate([jnp.ones(1, bool), lin_s[1:] != lin_s[:-1]])
+    starts = (
+        jnp.full(ncells + 1, n, jnp.int32)
+        .at[jnp.where(changes, lin_s, ncells)]
+        .min(jnp.where(changes, idx, n), mode="drop")
+    )
+    step = 1
+    while step < ncells + 1:
+        starts = jnp.minimum(
+            starts, jnp.pad(starts, (0, step), constant_values=n)[step:]
+        )
+        step *= 2
+    counts = starts[1:] - starts[:-1]  # true per-cell counts (may exceed K)
+
+    # Windowed view: row i = sorted payload rows [i, i+W).
+    pe = jnp.concatenate([payload_s, jnp.zeros((W, 8), jnp.float32)], axis=0)
+    win = jnp.concatenate([pe[j : j + n] for j in range(W)], axis=1)  # (n, W*8)
+
+    src = jnp.minimum(starts[:ncells], n - 1)
+    rows = win[src].reshape(ncells, W, 8)[:, :K, :]  # (ncells, K, 8)
+
+    kk = jnp.arange(K, dtype=jnp.int32)
+    present = (kk[None, :] < counts[:, None]).astype(jnp.float32)
+    rows = rows * present[..., None]
+    rows = rows.at[:, :, 6].set(present)
+    slots = rows.reshape(nx, ny, nz, K, 8).transpose(0, 1, 3, 4, 2)
+
+    n_overflow = (n - jnp.minimum(counts, K).sum()).astype(jnp.int32)
     cap = min(overflow_cap, n)
 
     def find_overflow(_):
-        # Overflow particles are the sorted tail of each run: their original
-        # indices are perm[rank_s >= K].
-        (pos_s,) = jnp.nonzero(~in_tab_s, size=cap, fill_value=n)
-        return jnp.where(pos_s < n, perm[jnp.minimum(pos_s, n - 1)], n).astype(jnp.int32)
+        # Overflow particles: sorted positions p with p - start(cell(p)) >= K;
+        # their original indices are perm[p].
+        rank_s = idx - starts[lin_s]
+        (pos_s,) = jnp.nonzero(rank_s >= K, size=cap, fill_value=n)
+        return jnp.where(
+            pos_s < n, perm[jnp.minimum(pos_s, n - 1)], n
+        ).astype(jnp.int32)
 
     overflow_idx = jax.lax.cond(
         n_overflow > 0,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.interp import interp_mac3_vec
-from ..core.interp_combined import interp_mac3_combined_vec, pack_mac3_combined
+from ..core.interp_packed import interp_mac3_packed_vec, pack_mac3
 
 
 def flip_update(
@@ -28,9 +28,9 @@ def flip_update(
     dw = w - (1.0 - alpha) * old_w
     m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
     if packed:
-        tab = pack_mac3_combined(du, dv, dw)
-        diff = interp_mac3_combined_vec(
-            tab, (cfg.nx, cfg.ny, cfg.nz), pos * m
+        pu, pv, pw = pack_mac3(du, dv, dw)
+        diff = interp_mac3_packed_vec(
+            pu, pv, pw, (cfg.nx, cfg.ny, cfg.nz), pos * m
         )
     else:
         diff = interp_mac3_vec(du, dv, dw, pos * m)

@@ -61,8 +61,8 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
 
     dt may be a traced scalar; cfg must be static.
 
-    ``fast=True`` (default) uses the TPU-native formulations — combined-key
-    packed interpolation (core/interp_combined.py) and the dense per-cell particle
+    ``fast=True`` (default) uses the TPU-native formulations — packed-row
+    interpolation (core/interp_packed.py) and the dense per-cell particle
     table (ops/celltable.py) for seeding + P2G; particles keep their
     original order (no per-step permutation).  ``fast=False`` runs the
     direct gather/scatter formulations (ops/p2g.py, ops/levelset.py), which
