@@ -57,6 +57,18 @@ class CellTable:
 def build_cell_table(
     cfg: SimConfig, pos, vel, k: int | None = None, overflow_cap: int = 4096
 ) -> CellTable:
+    """Build the dense table from positions in METERS (the public form).
+    See _build_from_cells for the algorithm."""
+    K = default_k(cfg) if k is None else k
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    return _build_from_cells(
+        (cfg.nx, cfg.ny, cfg.nz), K, pos * m, vel, None, overflow_cap
+    )
+
+
+def _build_from_cells(
+    dims, K: int, pc, vel, valid=None, overflow_cap: int = 4096
+) -> CellTable:
     """Measured-on-TPU-v5e design (round 2): XLA row gathers run at ~7-14 ns
     per row when the row is 8 lanes or >= 64 lanes (intermediate widths are
     3-5x slower), and row scatters cost ~9 ns per ELEMENT — so the build is
@@ -72,19 +84,26 @@ def build_cell_table(
          ``win64[start_c]`` — ncells rows instead of the round-1 form's
          ncells*K rows (the single hottest op of the round-1 step).
 
-    Presence/overflow masking is dense arithmetic on the counts."""
-    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    K = default_k(cfg) if k is None else k
+    Presence/overflow masking is dense arithmetic on the counts.
+
+    pc: positions in CELL units; valid: optional (n,) bool — invalid rows
+    (e.g. padding in a sharded shard-local build) are excluded from the
+    table, counts, and overflow."""
+    nx, ny, nz = dims
     # Window width: 8 or 16 payload rows (64/128-lane gather rows — both in
     # the fast-gather regime; 16-40 lane rows are 3-5x slower).
     W = 8 if K <= 8 else 16
     assert K <= W, "windowed build fetches at most 16 payload rows per cell"
-    n = pos.shape[0]
+    n = pc.shape[0]
     ncells = nx * ny * nz
-    m = jnp.array([nx, ny, nz], jnp.float32)
-    pc = pos * m
     cell = cell_of(pc)
     lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+    present_in = jnp.ones((n, 1), jnp.float32)
+    if valid is not None:
+        # Invalid rows sort to the sentinel cell `ncells` past every real
+        # cell (counts/overflow never see them).
+        lin = jnp.where(valid, lin, ncells)
+        present_in = jnp.where(valid[:, None], present_in, 0.0)
 
     # Joint sort of (cell key, particle index): equivalent to a stable sort
     # by cell, so within-cell slot order == original particle-index order
@@ -96,7 +115,7 @@ def build_cell_table(
         [
             pc,
             vel,
-            jnp.ones((n, 1), jnp.float32),
+            present_in,
             jnp.zeros((n, 1), jnp.float32),
         ],
         axis=1,
@@ -133,14 +152,16 @@ def build_cell_table(
     rows = rows.at[:, :, 6].set(present)
     slots = rows.reshape(nx, ny, nz, K, 8).transpose(0, 1, 3, 4, 2)
 
-    n_overflow = (n - jnp.minimum(counts, K).sum()).astype(jnp.int32)
+    n_valid = n if valid is None else valid.sum()
+    n_overflow = (n_valid - jnp.minimum(counts, K).sum()).astype(jnp.int32)
     cap = min(overflow_cap, n)
 
     def find_overflow(_):
-        # Overflow particles: sorted positions p with p - start(cell(p)) >= K;
-        # their original indices are perm[p].
-        rank_s = idx - starts[lin_s]
-        (pos_s,) = jnp.nonzero(rank_s >= K, size=cap, fill_value=n)
+        # Overflow particles: sorted positions p with p - start(cell(p)) >= K
+        # (excluding the invalid tail); original indices are perm[p].
+        rank_s = idx - starts[jnp.minimum(lin_s, ncells)]
+        over = (rank_s >= K) & (lin_s < ncells)
+        (pos_s,) = jnp.nonzero(over, size=cap, fill_value=n)
         return jnp.where(
             pos_s < n, perm[jnp.minimum(pos_s, n - 1)], n
         ).astype(jnp.int32)
@@ -148,7 +169,9 @@ def build_cell_table(
     overflow_idx = jax.lax.cond(
         n_overflow > 0,
         find_overflow,
-        lambda _: jnp.full(cap, n, jnp.int32),
+        # `+ 0 * perm[:1]` keeps both branch outputs device-varying when this
+        # runs inside shard_map (VMA type-matching); a no-op otherwise.
+        lambda _: jnp.full(cap, n, jnp.int32) + 0 * perm[:1],
         operand=None,
     )
     return CellTable(
@@ -228,7 +251,7 @@ def seed_closest_from_table(cfg: SimConfig, table: CellTable, far: float):
 # P2G transfer from the table (replaces 48M-element scatter-adds).
 # ---------------------------------------------------------------------------
 
-def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None):
+def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None, pc=None):
     """Gather-free P2G: every MAC face accumulates hat-weighted velocity
     from the 18 neighbor cells' table slots (the GPU kernels' neighborhood,
     gpTransferParticleVelocitiesU.hlsl:36-59) as dense shifted-window sums.
@@ -238,9 +261,12 @@ def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None):
     small bounded scatter, so the result matches ops/p2g.transfer_to_grid
     up to summation order whenever n_overflow <= overflow_cap.
 
-    Returns (u, v, w, u_valid, v_valid, w_valid).
+    Returns (u, v, w, u_valid, v_valid, w_valid).  Positions may be given in
+    meters (`pos`) or directly in cell units (`pc`, e.g. shard-local frames).
     """
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    if pc is None and pos is not None:
+        pc = pos * jnp.array([nx, ny, nz], jnp.float32)
     slots = table.slots  # (nx, ny, K, 8, nz)
     padded = jnp.pad(slots, ((1, 1), (1, 1), (0, 0), (0, 0), (1, 1)))
 
@@ -284,9 +310,9 @@ def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None):
                     acc = acc + (wgt * velc).sum(2)
                     amt = amt + wgt.sum(2)
 
-        if pos is not None:
+        if pc is not None:
             acc, amt = _overflow_scatter(
-                cfg, table, pos, vel, comp_axis, shape, acc, amt
+                cfg, table, pc, vel, comp_axis, shape, acc, amt
             )
 
         g = acc / jnp.maximum(amt, jnp.float32(1e-30))
@@ -305,7 +331,7 @@ def p2g_from_table(cfg: SimConfig, table: CellTable, pos=None, vel=None):
     return u, v, w, uv, vv, wv
 
 
-def p2g_from_table_fused(cfg: SimConfig, table: CellTable, pos=None, vel=None):
+def p2g_from_table_fused(cfg: SimConfig, table: CellTable, pos=None, vel=None, pc=None):
     """Same result as p2g_from_table, restructured as ONE sweep over the 27
     cell offsets that accumulates all three components at once — each window
     of the table is read once (7 fields) instead of three times (5 fields
@@ -374,8 +400,8 @@ def p2g_from_table_fused(cfg: SimConfig, table: CellTable, pos=None, vel=None):
         pad[a] = (1, 0)
         acc = jnp.pad(accs[a], pad)
         amt = jnp.pad(amts[a], pad)
-        if pos is not None:
-            acc, amt = _overflow_scatter(cfg, table, pos, vel, a, shape, acc, amt)
+        if pc is not None:
+            acc, amt = _overflow_scatter(cfg, table, pc, vel, a, shape, acc, amt)
         g = acc / jnp.maximum(amt, jnp.float32(1e-30))
         valid = amt > cfg.zero_thresh
         for edge in (0, (nx, ny, nz)[a]):
@@ -388,16 +414,15 @@ def p2g_from_table_fused(cfg: SimConfig, table: CellTable, pos=None, vel=None):
     return u, v, w, uv, vv, wv
 
 
-def _overflow_scatter(cfg, table, pos, vel, comp_axis, shape, acc, amt):
+def _overflow_scatter(cfg, table, pc, vel, comp_axis, shape, acc, amt):
     """Exact scatter-add of overflow particles' hat contributions (bounded
-    by overflow_cap, so it is cheap and always on)."""
+    by overflow_cap, so it is cheap and always on).  pc in CELL units."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    n = pos.shape[0]
+    n = pc.shape[0]
     ov = table.overflow_idx
     live = ov < n
     safe = jnp.where(live, ov, 0)
-    m = jnp.array([nx, ny, nz], jnp.float32)
-    p = pos[safe] * m
+    p = pc[safe]
     pv = vel[safe, comp_axis]
 
     base = []
@@ -433,18 +458,22 @@ def _overflow_scatter(cfg, table, pos, vel, comp_axis, shape, acc, amt):
     return acc, amt
 
 
-def seed_overflow_correction(cfg: SimConfig, table: CellTable, pos, phi0, cpos0):
+def seed_overflow_correction(
+    cfg: SimConfig, table: CellTable, pos, phi0, cpos0, pc_all=None
+):
     """Fold overflow particles into the own-cell seeding result (exact,
     first-wins tie-breaks preserved: in-table particles have smaller
-    indices, and strict improvement is required to replace)."""
+    indices, and strict improvement is required to replace).  Positions in
+    meters (`pos`) or cell units (`pc_all`)."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     r = jnp.float32(cfg.particle_radius)
-    n = pos.shape[0]
+    if pc_all is None:
+        pc_all = pos * jnp.array([nx, ny, nz], jnp.float32)
+    n = pc_all.shape[0]
     ov = table.overflow_idx
     live = ov < n
     safe = jnp.where(live, ov, 0)
-    m = jnp.array([nx, ny, nz], jnp.float32)
-    pc = pos[safe] * m
+    pc = pc_all[safe]
     cell = cell_of(pc)
     lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
     d = jnp.sqrt(((pc - cell.astype(jnp.float32)) ** 2).sum(-1)) - r

@@ -397,6 +397,12 @@ def intersect_water(md, inv_m0, co, ci, max_t):
     p0 = co + 0.5
     initial = md(p0)
     outside = (initial > 0.0) | (p0[..., 1] > 0.9999)
+    # Lanes whose box test missed (max_t == LARGE) are glass-miss pixels /
+    # dead bounce children whose color is discarded upstream — mark them
+    # converged immediately so they never stall the whole-batch early exits
+    # (they otherwise march the full worst-case trip counts: measured as the
+    # dominant render cost, sky pixels dragging every band to 64/128 steps).
+    junk = max_t >= LARGE
 
     # --- outside: 64-step sphere trace (Render.fx:369-381)
     def out_cond(c):
@@ -418,7 +424,7 @@ def intersect_water(md, inv_m0, co, ci, max_t):
     _, p_o, t_o, _ = jax.lax.while_loop(
         out_cond,
         out_body,
-        (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside),
+        (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside | junk),
     )
     t_o = jnp.minimum(t_o, max_t)
     p_o = p0 + t_o[..., None] * ci
@@ -450,7 +456,7 @@ def intersect_water(md, inv_m0, co, ci, max_t):
             p0,
             jnp.zeros_like(max_t),
             jnp.full(max_t.shape, 128, jnp.int32),
-            outside,  # outside lanes are inert here
+            outside | junk,  # outside/junk lanes are inert here
             jnp.zeros(max_t.shape, bool),
         )
         _, p_i, t_i, i_exit, exited, boxed = jax.lax.while_loop(
@@ -463,7 +469,7 @@ def intersect_water(md, inv_m0, co, ci, max_t):
 
         def bwd_body(c):
             k, p, t, done = c
-            active = ((i_exit + k) < 48) & ~done & ~boxed & ~outside
+            active = ((i_exit + k) < 48) & ~done & ~boxed & ~outside & ~junk
             dt = -md(p)
             t2 = t + dt
             done2 = done | (active & (dt > -0.001))
@@ -481,7 +487,7 @@ def intersect_water(md, inv_m0, co, ci, max_t):
         return p_i, t_i
 
     p_i, t_i = jax.lax.cond(
-        jnp.any(~outside),
+        jnp.any(~outside & ~junk),
         run_inside,
         lambda _: (p0, jnp.zeros_like(max_t)),
         operand=None,
@@ -529,7 +535,10 @@ def _expand_bounce(md, inv_m0, co, ci):
     _, max_t, _, _ = intersect_aabb(co, ci, -half, half)
     p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t)
     ipoint = p_hit - 0.5
-    missed = t_hit >= max_t
+    # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
+    # an epsilon-escaped bounce child: forward it as a miss (the reference's
+    # per-pixel short-circuit to traceWater0) instead of marching it.
+    missed = (t_hit >= max_t) | (max_t >= LARGE)
 
     norm = _norm(compute_gradient(md, p_hit), eps=1e-20)
     from_inside = _dot(norm, ci) > 0.0
@@ -590,11 +599,12 @@ def trace_water1(md, inv_m0, co, ci):
 def shade(phi, co, ci):
     """PS main (Render.fx:518-578) for ray batches.
 
-    Builds the packed level-set texture once per call; all map() sampling
-    inside the bounce tree goes through it."""
-    tex = PackedPhi(phi)
+    `phi` may be the raw level set or a pre-built PackedPhi (pack once per
+    frame, render many tiles — the pack costs ~ms at 128^3 and must not be
+    paid per tile); all map() sampling goes through the packed texture."""
+    tex = phi if isinstance(phi, PackedPhi) else PackedPhi(phi)
     md = lambda p: map_dist_packed(tex, p)
-    inv_m0 = 1.0 / jnp.float32(phi.shape[0])
+    inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
     col_water = trace_water2(md, inv_m0, prim_co, prim_ci)
@@ -608,45 +618,72 @@ def shade(phi, co, ci):
     return jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "row0_height"))
-def _render_band(phi, cam_pos, cam_right, cam_up, cam_fwd,
-                 width: int, height: int, row0_height, y0):
-    """Render rows [y0, y0+row0_height) of a (height, width) frame."""
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    py = (y0 + jnp.arange(row0_height, dtype=jnp.float32) + 0.5) / height
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
+)
+def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
+                 width: int, height: int, tile_h: int, tile_w: int, y0, x0):
+    """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
+    px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
+    py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
     fx, fy = jnp.meshgrid(px, py, indexing="xy")
     u = -1.0 + 2.0 * fx
     v = 1.0 - 2.0 * fy
     ci = _norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade(phi, co, ci)
+    return shade(tex, co, ci)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
+)
+def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
+                 width: int, height: int, tile_h: int, tile_w: int):
+    """All tiles under ONE compiled program (lax.scan over tile origins):
+    keeps the per-tile whole-batch early exits while paying dispatch
+    overhead once (measured ~3 ms per dispatch through the axon tunnel —
+    multi-dispatch tiling was overhead-bound)."""
+    nty = -(-height // tile_h)
+    ntx = -(-width // tile_w)
+    ys = jnp.repeat(jnp.arange(nty, dtype=jnp.float32) * tile_h, ntx)
+    xs = jnp.tile(jnp.arange(ntx, dtype=jnp.float32) * tile_w, nty)
+
+    def body(_, yx):
+        img = _render_tile(
+            tex, cam_pos, cam_right, cam_up, cam_fwd,
+            width, height, tile_h, tile_w, yx[0], yx[1],
+        )
+        return 0, img
+
+    _, tiles = jax.lax.scan(body, 0, jnp.stack([ys, xs], axis=1))
+    img = tiles.reshape(nty, ntx, tile_h, tile_w, 3).transpose(0, 2, 1, 3, 4)
+    return img.reshape(nty * tile_h, ntx * tile_w, 3)[:height, :width]
 
 
 def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
-           band_rows: int = 0):
+           band_rows: int = 0, band_cols: int = 0):
     """Render a (height, width, 3) float32 image from the level set.
 
-    Rays: fragCoord uv mapping per Render.fx:521 + VS:54-55; camera frame
+    Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
     from render/camera.py (FOV scaling folded into right/up).
 
-    band_rows > 0 renders the frame in horizontal bands (one compiled
-    program reused per band): the raymarch loops exit when *all* rays in a
-    batch converge, so smaller batches exit earlier — typically ~2x faster
-    for full frames at a small dispatch-count cost.
+    band_rows/band_cols > 0 render the frame in tiles, all under one
+    compiled program (the packed phi texture is built once per frame): the
+    raymarch loops exit when *all* rays in a tile converge, and depth is
+    spatially coherent, so small tiles exit much earlier — measured 2-5x
+    over whole-frame.  band_cols defaults to 100 when tiling.
     """
-    if band_rows <= 0 or band_rows >= height:
-        return _render_band(
-            phi, cam_pos, cam_right, cam_up, cam_fwd, width, height, height, 0
+    tex = phi if isinstance(phi, PackedPhi) else PackedPhi(phi)
+    if band_rows <= 0 and band_cols <= 0:
+        return _render_tile(
+            tex, cam_pos, cam_right, cam_up, cam_fwd,
+            width, height, height, width, jnp.float32(0), jnp.float32(0),
         )
-    bands = []
-    y = 0
-    while y < height:
-        rows = min(band_rows, height - y)
-        bands.append(
-            _render_band(
-                phi, cam_pos, cam_right, cam_up, cam_fwd,
-                width, height, rows, jnp.float32(y),
-            )
-        )
-        y += rows
-    return jnp.concatenate(bands, axis=0)
+    tile_h = band_rows if 0 < band_rows <= height else height
+    tile_w = band_cols if 0 < band_cols <= width else (
+        100 if width % 100 == 0 else width
+    )
+    return _render_scan(
+        tex, cam_pos, cam_right, cam_up, cam_fwd,
+        width, height, tile_h, tile_w,
+    )

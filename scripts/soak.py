@@ -13,7 +13,8 @@ from fluidsimulation_tpu.ops.levelset import compute_level_set
 from fluidsimulation_tpu.reference.solver3d import divergence_stats
 
 def main(grid=64, steps=200, dt=1/60):
-    cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid))
+    cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
+                    particles_per_cell_axis=1 if grid >= 128 else 2)
     s = jax.device_put(init_state(cfg))
     t0 = time.perf_counter()
     for i in range(steps):

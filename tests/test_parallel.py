@@ -48,6 +48,30 @@ def test_output_shardings_preserved(mesh):
         ), name
 
 
+def test_halo_step_matches_single(mesh):
+    """The explicit-collective shard_map step (x-sharded grids, ppermute
+    halos, relay x-sweeps, particle slab exchange) == single-device step
+    (VERDICT r1 #3; SURVEY.md §5.8)."""
+    from fluidsimulation_tpu.parallel.halo_step import make_halo_step, shard_state_x
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    want = init_state(cfg)
+    for _ in range(2):
+        want = step_jit(want, 0.01, cfg)
+
+    got = shard_state_x(init_state(cfg), mesh)
+    halo_step = make_halo_step(cfg, mesh)
+    for _ in range(2):
+        got = halo_step(got, 0.01)
+
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(want.w), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.phi), np.asarray(want.phi), atol=1e-4)
+
+
 def test_shard_map_halo_sor_matches_single(mesh):
     """Explicit ppermute-halo SOR == single-device SOR (SURVEY.md §5.8)."""
     import jax.numpy as jnp
