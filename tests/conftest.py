@@ -20,3 +20,9 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (multi-minute) regression tests"
+    )
