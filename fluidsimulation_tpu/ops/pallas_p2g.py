@@ -120,6 +120,8 @@ def p2g_from_table_pallas(cfg: SimConfig, table, pos=None, vel=None):
     from . import celltable as ct
 
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    # _overflow_scatter takes positions in CELL units.
+    pc = pos * jnp.array([nx, ny, nz], jnp.float32) if pos is not None else None
     accs, amts = p2g_accumulate_pallas(cfg, table.slots)
     out = []
     for a, shape in ((0, (nx + 1, ny, nz)), (1, (nx, ny + 1, nz)), (2, (nx, ny, nz + 1))):
@@ -127,8 +129,8 @@ def p2g_from_table_pallas(cfg: SimConfig, table, pos=None, vel=None):
         pad[a] = (1, 0)
         acc = jnp.pad(accs[a], pad)
         amt = jnp.pad(amts[a], pad)
-        if pos is not None:
-            acc, amt = ct._overflow_scatter(cfg, table, pos, vel, a, shape, acc, amt)
+        if pc is not None:
+            acc, amt = ct._overflow_scatter(cfg, table, pc, vel, a, shape, acc, amt)
         g = acc / jnp.maximum(amt, jnp.float32(1e-30))
         valid = amt > cfg.zero_thresh
         for edge in (0, (nx, ny, nz)[a]):

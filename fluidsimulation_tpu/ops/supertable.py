@@ -1,21 +1,26 @@
-"""Supercell (2x2x2) particle table — round-3 replacement for the per-cell
-dense table on the single-chip fast path.
+"""Supercell particle table — round-3 replacement for the per-cell dense
+table on the single-chip fast path (ppc_axis == 1 configs).
 
 The per-cell table (ops/celltable.py) pays one 64-lane row gather per CELL
 (2M rows at 128^3, ~24-32 ms) plus a 335 MB mask+transpose.  Binning at
-2x2x2 supercell granularity cuts the gather to ncells/8 rows (fatter rows:
+supercell granularity cuts the gather to ncells/prod(F) rows (fatter rows:
 Ks*8 lanes, still in the fast >=64-lane regime, and gather cost is
 per-TRANSACTION) and shrinks the table ~2.5x:
 
   supercell slots: (sx, sy, Ks, 8, sz) f32, fields [px,py,pz, vx,vy,vz,
-  present, 0], positions in CELL units, z minor; Ks = 8*ppc^3 + 4.
+  present, 0], positions in CELL units, z minor; Ks = prod(F)*ppc^3 + 4.
+
+The factor is F = (2, 2, 1): x/y pooled, z untouched — so the z-minor lane
+axis keeps its full 128-lane extent for every consumer (XLA vector ops and
+Pallas tile kernels alike), and parity splitting is only needed along x/y
+(4 classes).
 
 Consumers recover per-cell semantics with membership masks (the particle's
 cell id floor(p+0.5) is recomputed from the stored position — exact f32
 arithmetic, so membership tests match ops/celltable.py bit-for-bit) and run
-PARITY-SPLIT: each of the 8 cell parities aligns with the supercell pitch,
-so every window term is a plain aligned slice of the padded table (no
-2x upsampling/repeat of the table is ever materialized).
+PARITY-SPLIT along the pooled axes: each (x, y) cell parity aligns with the
+supercell pitch, so every window term is a plain aligned slice of the
+padded table (no upsampling/repeat of the table is ever materialized).
 
 Reference semantics preserved exactly as in ops/celltable.py:
   - slot order within a supercell = original particle-index order (stable
@@ -42,14 +47,14 @@ from ..core.config import SimConfig
 from .common import cell_of
 from .celltable import _overflow_scatter, seed_overflow_correction  # noqa: F401
 
-F = 2  # supercell factor per axis
+F = (2, 2, 1)  # supercell factor per axis (z untouched: keep full lane rows)
 
 
 def super_k(cfg: SimConfig) -> int:
-    """Slots per supercell: nominal seeding density + headroom.  Pooling 8
-    cells averages local density, so proportionally less headroom is needed
-    than per-cell K; overflow stays exact via the bounded corrections."""
-    return F**3 * cfg.particles_per_cell_axis**3 + 4
+    """Slots per supercell: nominal seeding density + headroom.  Pooling
+    cells averages local density; overflow stays exact via the bounded
+    corrections."""
+    return F[0] * F[1] * F[2] * cfg.particles_per_cell_axis**3 + 4
 
 
 @jax.tree_util.register_dataclass
@@ -63,21 +68,27 @@ class SuperTable:
     overflow_idx: Any
 
 
+def _sdims(cfg: SimConfig):
+    return cfg.nx // F[0], cfg.ny // F[1], cfg.nz // F[2]
+
+
 def build_super_table(
     cfg: SimConfig, pos, vel, ks: int | None = None, overflow_cap: int = 4096
 ) -> SuperTable:
     """Build the supercell table from positions in METERS."""
     Ks = super_k(cfg) if ks is None else ks
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    assert nx % F == 0 and ny % F == 0 and nz % F == 0
-    sx, sy, sz = nx // F, ny // F, nz // F
+    assert nx % F[0] == 0 and ny % F[1] == 0 and nz % F[2] == 0
+    sx, sy, sz = _sdims(cfg)
     nsup = sx * sy * sz
     m = jnp.array([nx, ny, nz], jnp.float32)
     pc = pos * m
     n = pc.shape[0]
 
-    sc = cell_of(pc) // F
-    lin = (sc[:, 0] * sy + sc[:, 1]) * sz + sc[:, 2]
+    cell = cell_of(pc)
+    lin = (
+        (cell[:, 0] // F[0]) * sy + cell[:, 1] // F[1]
+    ) * sz + cell[:, 2] // F[2]
 
     # Stable single-key sort carrying the particle index (measured fastest
     # formulation, scripts/microbench_sort3.py).
@@ -139,19 +150,19 @@ def counts_from_super(cfg: SimConfig, st: SuperTable):
         for ax in range(3)
     ]
     out = jnp.zeros((nx, ny, nz), jnp.int32)
-    for px in range(F):
-        for py in range(F):
-            for pz in range(F):
-                xg = (F * jnp.arange(nx // F) + px)[:, None, None, None]
-                yg = (F * jnp.arange(ny // F) + py)[None, :, None, None]
-                zg = (F * jnp.arange(nz // F) + pz)[None, None, None, :]
+    for px in range(F[0]):
+        for py in range(F[1]):
+            for pz in range(F[2]):
+                xg = (F[0] * jnp.arange(nx // F[0]) + px)[:, None, None, None]
+                yg = (F[1] * jnp.arange(ny // F[1]) + py)[None, :, None, None]
+                zg = (F[2] * jnp.arange(nz // F[2]) + pz)[None, None, None, :]
                 member = (
                     present
                     & (cxyz[0] == xg)
                     & (cxyz[1] == yg)
                     & (cxyz[2] == zg)
                 )
-                out = out.at[px::F, py::F, pz::F].set(
+                out = out.at[px :: F[0], py :: F[1], pz :: F[2]].set(
                     member.sum(axis=2).astype(jnp.int32)
                 )
     return out
@@ -179,56 +190,52 @@ def seed_closest_from_super(cfg: SimConfig, st: SuperTable, far: float):
     cz = jnp.floor(pz + 0.5)
 
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, px.shape, 2)
+    zg = (
+        F[2] * jnp.arange(nz // F[2], dtype=jnp.float32)
+    )[None, None, None, :]
 
     phi_parts = []
     cpos_parts = []
-    for parx in range(F):
-        xg = (F * jnp.arange(nx // F) + parx).astype(jnp.float32)[
+    for parx in range(F[0]):
+        xg = (F[0] * jnp.arange(nx // F[0], dtype=jnp.float32) + parx)[
             :, None, None, None
         ]
-        for pary in range(F):
-            yg = (F * jnp.arange(ny // F) + pary).astype(jnp.float32)[
+        for pary in range(F[1]):
+            yg = (F[1] * jnp.arange(ny // F[1], dtype=jnp.float32) + pary)[
                 None, :, None, None
             ]
-            for parz in range(F):
-                zg = (F * jnp.arange(nz // F) + parz).astype(jnp.float32)[
-                    None, None, None, :
-                ]
-                member = present & (cx == xg) & (cy == yg) & (cz == zg)
-                dx = px - xg
-                dy = py - yg
-                dz = pz - zg
-                d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - r
-                d = jnp.where(member, d, jnp.inf)
-                best = jnp.min(d, axis=2)
-                is_best = d == best[:, :, None, :]
-                first = jnp.min(jnp.where(is_best, slot_ids, Ks), axis=2)
-                onehot = slot_ids == first[:, :, None, :]
-                cp = jnp.stack(
-                    [
-                        jnp.where(onehot, c, 0.0).sum(axis=2)
-                        for c in (px, py, pz)
-                    ],
-                    axis=-1,
-                )
-                seeded = jnp.isfinite(best)
-                phi_parts.append(jnp.where(seeded, best, jnp.inf))
-                cpos_parts.append(jnp.where(seeded[..., None], cp, far))
+            member = present & (cx == xg) & (cy == yg) & (cz == zg)
+            dx = px - xg
+            dy = py - yg
+            dz = pz - zg
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - r
+            d = jnp.where(member, d, jnp.inf)
+            best = jnp.min(d, axis=2)
+            is_best = d == best[:, :, None, :]
+            first = jnp.min(jnp.where(is_best, slot_ids, Ks), axis=2)
+            onehot = slot_ids == first[:, :, None, :]
+            cp = jnp.stack(
+                [jnp.where(onehot, c, 0.0).sum(axis=2) for c in (px, py, pz)],
+                axis=-1,
+            )
+            seeded = jnp.isfinite(best)
+            phi_parts.append(jnp.where(seeded, best, jnp.inf))
+            cpos_parts.append(jnp.where(seeded[..., None], cp, far))
 
-    phi0 = _interleave3(phi_parts, (nx, ny, nz))
-    cpos0 = _interleave3(cpos_parts, (nx, ny, nz), trailing=(3,))
+    phi0 = _interleave_xy(phi_parts, (nx, ny, nz))
+    cpos0 = _interleave_xy(cpos_parts, (nx, ny, nz), trailing=(3,))
     return phi0, cpos0
 
 
-def _interleave3(parts, dims, trailing=()):
-    """parts: length-8 list in (parx, pary, parz) order of (sx, sy, sz, *t)
-    arrays -> (nx, ny, nz, *t) with parity interleaved on each axis."""
+def _interleave_xy(parts, dims, trailing=()):
+    """parts: length F[0]*F[1] list in (parx, pary) order of
+    (sx, sy, nz, *t) arrays -> (nx, ny, nz, *t) with x/y parity
+    interleaved (z is not pooled)."""
     nx, ny, nz = dims
-    sx, sy, sz = nx // F, ny // F, nz // F
-    a = jnp.stack(parts, axis=0).reshape(F, F, F, sx, sy, sz, *trailing)
-    # (px,py,pz,sx,sy,sz) -> (sx,px,sy,py,sz,pz)
+    sx, sy = nx // F[0], ny // F[1]
+    a = jnp.stack(parts, axis=0).reshape(F[0], F[1], sx, sy, nz, *trailing)
     nt = len(trailing)
-    perm = (3, 0, 4, 1, 5, 2) + tuple(6 + i for i in range(nt))
+    perm = (2, 0, 3, 1, 4) + tuple(5 + i for i in range(nt))
     return a.transpose(perm).reshape(nx, ny, nz, *trailing)
 
 
@@ -248,96 +255,93 @@ def p2g_from_super(cfg: SimConfig, st: SuperTable, pos=None, vel=None, pc=None):
         pc = pos * jnp.array([nx, ny, nz], jnp.float32)
     slots = st.slots  # (sx, sy, Ks, 8, sz)
     padded = jnp.pad(slots, ((1, 1), (1, 1), (0, 0), (0, 0), (1, 1)))
-    sdims = (nx // F, ny // F, nz // F)
 
     def component(a: int, shape):
-        # Parity-split accumulation.  For face index f = F*Fi + p along an
-        # axis, the needed cells are {f-1, f} (staggered axis a) or
-        # {f-1, f, f+1} (normal axes); the supercells covering them are
-        # offsets {-1,0} (p=0) / {0} (p=1, staggered) / {0,+1} (p=1, normal).
+        # Parity split along pooled axes (x, y).  For face index
+        # f = F*Fi + p along a pooled axis, the needed cells are {f-1, f}
+        # (staggered axis a) or {f-1, f, f+1} (normal axes); the supercells
+        # covering them are offsets {-1,0} (p=0) / {0} (p=1, staggered) /
+        # {0,+1} (p=1, normal).  Along the unpooled z axis the offsets are
+        # the plain cell offsets (supercell == cell).
         acc_parts = []
         amt_parts = []
-        npar = []  # faces per parity along each axis
-        for ax in range(3):
-            n_face = shape[ax]
-            npar.append(
-                [(n_face + F - 1 - p) // F for p in range(F)]
-            )  # ceil((n_face - p)/F)
+        npar = [
+            [(shape[ax] + F[ax] - 1 - p) // F[ax] for p in range(F[ax])]
+            for ax in range(3)
+        ]
 
-        for parx in range(F):
-            for pary in range(F):
-                for parz in range(F):
-                    par = (parx, pary, parz)
-                    fshape = tuple(npar[ax][par[ax]] for ax in range(3))
-                    # Face coordinates of this parity subgrid.
-                    coords = []
-                    bshape = [
-                        (fshape[0], 1, 1, 1),
-                        (1, fshape[1], 1, 1),
-                        (1, 1, 1, fshape[2]),
-                    ]
-                    for ax in range(3):
-                        c = (
-                            F * jnp.arange(fshape[ax], dtype=jnp.float32)
-                            + par[ax]
-                        )
-                        if ax == a:
-                            c = c - 0.5
-                        coords.append(c.reshape(bshape[ax]))
+        for parx in range(F[0]):
+            for pary in range(F[1]):
+                par = (parx, pary, 0)
+                fshape = (npar[0][parx], npar[1][pary], shape[2])
+                coords = []
+                bshape = [
+                    (fshape[0], 1, 1, 1),
+                    (1, fshape[1], 1, 1),
+                    (1, 1, 1, fshape[2]),
+                ]
+                for ax in range(3):
+                    c = (
+                        F[ax] * jnp.arange(fshape[ax], dtype=jnp.float32)
+                        + par[ax]
+                    ) if F[ax] > 1 else jnp.arange(
+                        fshape[ax], dtype=jnp.float32
+                    )
+                    if ax == a:
+                        c = c - 0.5
+                    coords.append(c.reshape(bshape[ax]))
 
-                    acc = jnp.zeros(fshape, jnp.float32)
-                    amt = jnp.zeros(fshape, jnp.float32)
-                    offs = []
-                    for ax in range(3):
-                        if par[ax] == 0:
-                            offs.append((-1, 0))
-                        elif ax == a:
-                            offs.append((0,))
-                        else:
-                            offs.append((0, 1))
-                    for ox in offs[0]:
-                        for oy in offs[1]:
-                            for oz in offs[2]:
-                                win = padded[
-                                    1 + ox : 1 + ox + fshape[0],
-                                    1 + oy : 1 + oy + fshape[1],
-                                    :,
-                                    :,
-                                    1 + oz : 1 + oz + fshape[2],
-                                ]
-                                p3 = (
-                                    win[:, :, :, 0, :],
-                                    win[:, :, :, 1, :],
-                                    win[:, :, :, 2, :],
-                                )
-                                velc = win[:, :, :, 3 + a, :]
-                                wgt = win[:, :, :, 6, :]  # present
-                                for ax in range(3):
-                                    rel = p3[ax] - coords[ax]
-                                    wgt = wgt * jnp.maximum(
-                                        0.0, 1.0 - jnp.abs(rel)
-                                    )
-                                    # Reference window: cell in {f-1, f}
-                                    # (staggered) / {f-1, f, f+1} (normal).
-                                    cell_ax = jnp.floor(p3[ax] + 0.5)
-                                    if ax == a:
-                                        lo = coords[ax] - 0.5  # == f-1
-                                        ok = (cell_ax >= lo) & (
-                                            cell_ax <= lo + 1
-                                        )
-                                    else:
-                                        ok = (
-                                            jnp.abs(cell_ax - coords[ax])
-                                            <= 1.0
-                                        )
-                                    wgt = wgt * ok
-                                acc = acc + (wgt * velc).sum(2)
-                                amt = amt + wgt.sum(2)
-                    acc_parts.append(acc)
-                    amt_parts.append(amt)
+                acc = jnp.zeros(fshape, jnp.float32)
+                amt = jnp.zeros(fshape, jnp.float32)
+                offs = []
+                for ax in range(3):
+                    if F[ax] == 1:
+                        offs.append((-1, 0) if ax == a else (-1, 0, 1))
+                    elif par[ax] == 0:
+                        offs.append((-1, 0))
+                    elif ax == a:
+                        offs.append((0,))
+                    else:
+                        offs.append((0, 1))
+                for ox in offs[0]:
+                    for oy in offs[1]:
+                        for oz in offs[2]:
+                            win = padded[
+                                1 + ox : 1 + ox + fshape[0],
+                                1 + oy : 1 + oy + fshape[1],
+                                :,
+                                :,
+                                1 + oz : 1 + oz + fshape[2],
+                            ]
+                            p3 = (
+                                win[:, :, :, 0, :],
+                                win[:, :, :, 1, :],
+                                win[:, :, :, 2, :],
+                            )
+                            velc = win[:, :, :, 3 + a, :]
+                            wgt = win[:, :, :, 6, :]  # present
+                            for ax in range(3):
+                                rel = p3[ax] - coords[ax]
+                                wgt = wgt * jnp.maximum(0.0, 1.0 - jnp.abs(rel))
+                                if F[ax] == 1:
+                                    # window == reference window; no mask.
+                                    continue
+                                # Reference window: cell in {f-1, f}
+                                # (staggered) / {f-1, f, f+1} (normal).
+                                cell_ax = jnp.floor(p3[ax] + 0.5)
+                                if ax == a:
+                                    lo = coords[ax] - 0.5  # == f-1
+                                    ok = (cell_ax >= lo) & (cell_ax <= lo + 1)
+                                else:
+                                    ok = jnp.abs(cell_ax - coords[ax]) <= 1.0
+                                wgt = wgt * ok
+                            acc = acc + (wgt * velc).sum(2)
+                            amt = amt + wgt.sum(2)
+                acc_parts.append(acc)
+                amt_parts.append(amt)
 
-        acc = _interleave_faces(acc_parts, shape)
-        amt = _interleave_faces(amt_parts, shape)
+        acc = _interleave_faces_xy(acc_parts, shape)
+        amt = _interleave_faces_xy(amt_parts, shape)
 
         if pc is not None:
             acc, amt = _overflow_scatter(cfg, st, pc, vel, a, shape, acc, amt)
@@ -357,17 +361,17 @@ def p2g_from_super(cfg: SimConfig, st: SuperTable, pos=None, vel=None, pc=None):
     return u, v, w, uv, vv, wv
 
 
-def _interleave_faces(parts, shape):
-    """parts: length-8 list in (parx, pary, parz) order of per-parity face
+def _interleave_faces_xy(parts, shape):
+    """parts: length F[0]*F[1] list in (parx, pary) order of per-parity face
     grids (possibly uneven sizes along the staggered axis) -> full `shape`
-    face grid."""
+    face grid (z unpooled)."""
+    tgt = tuple((shape[ax] + F[ax] - 1) // F[ax] for ax in range(2))
     padded = []
-    tgt = tuple((shape[ax] + F - 1) // F for ax in range(3))
     for p in parts:
-        pad = [(0, tgt[ax] - p.shape[ax]) for ax in range(3)]
+        pad = [(0, tgt[0] - p.shape[0]), (0, tgt[1] - p.shape[1]), (0, 0)]
         padded.append(jnp.pad(p, pad))
-    a = jnp.stack(padded, axis=0).reshape(F, F, F, *tgt)
-    a = a.transpose(3, 0, 4, 1, 5, 2).reshape(
-        tgt[0] * F, tgt[1] * F, tgt[2] * F
+    a = jnp.stack(padded, axis=0).reshape(F[0], F[1], tgt[0], tgt[1], shape[2])
+    a = a.transpose(2, 0, 3, 1, 4).reshape(
+        tgt[0] * F[0], tgt[1] * F[1], shape[2]
     )
-    return a[: shape[0], : shape[1], : shape[2]]
+    return a[: shape[0], : shape[1], :]

@@ -41,6 +41,22 @@ def pic_flip_alpha(cfg: SimConfig, dt):
     )
 
 
+def use_super_table(cfg: SimConfig) -> bool:
+    """Whether the fast path bins at (2,2,1) supercell granularity
+    (ops/supertable.py).  Supercell pooling wins when per-cell occupancy is
+    low (ppc_axis == 1: one sort+gather per 4 cells, break-even P2G window
+    work); at ppc_axis >= 2 the coarser windows read ~2x more slots per face
+    than the per-cell table, so the per-cell path stays."""
+    from ..ops.supertable import F
+
+    return (
+        cfg.particles_per_cell_axis == 1
+        and cfg.nx % F[0] == 0
+        and cfg.ny % F[1] == 0
+        and cfg.nz % F[2] == 0
+    )
+
+
 def use_pallas_kernels(cfg: SimConfig) -> bool:
     """Whether the fast path runs the Pallas tile kernels (Element-indexed
     VMEM halo blocks): single-chip TPU with tile-aligned dims.  XLA
@@ -82,8 +98,19 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
 
     if fast:
         use_pallas = use_pallas_kernels(cfg)
-        table = build_cell_table(cfg, pos, vel)
-        phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
+        use_super = use_super_table(cfg)
+        if use_super:
+            from ..ops.supertable import (
+                build_super_table,
+                p2g_from_super,
+                seed_closest_from_super,
+            )
+
+            table = build_super_table(cfg, pos, vel)
+            phi0, cpos0 = seed_closest_from_super(cfg, table, FAR)
+        else:
+            table = build_cell_table(cfg, pos, vel)
+            phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
         phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
         if use_pallas:
             from ..ops.pallas_seed import neighborhood_pass_pallas
@@ -97,7 +124,15 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
             phi, _ = sweep_closest_pallas(cfg, phi, cpos)
         else:
             phi, _ = sweep_closest(cfg, phi, cpos)
-        if use_pallas:
+        # The super-P2G kernel tiles (tx=1, ty=8) over supercells: needs
+        # sy = ny/2 to be a multiple of 8.
+        if use_super and use_pallas and (cfg.ny // 2) % 8 == 0:
+            from ..ops.pallas_p2g_super import p2g_from_super_pallas
+
+            u, v, w, uv, vv, wv = p2g_from_super_pallas(cfg, table, pos, vel)
+        elif use_super:
+            u, v, w, uv, vv, wv = p2g_from_super(cfg, table, pos, vel)
+        elif use_pallas:
             from ..ops.pallas_p2g import p2g_from_table_pallas
 
             u, v, w, uv, vv, wv = p2g_from_table_pallas(cfg, table, pos, vel)

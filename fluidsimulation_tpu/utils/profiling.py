@@ -110,10 +110,35 @@ def _jitted2(fn):
     return jax.jit(fn, static_argnums=(0, 1))
 
 
-def _seed_stage(cfg, use_pallas, table, pos):
+@functools.lru_cache(maxsize=None)
+def _jitted3(fn):
+    """As _jitted, with (cfg, use_pallas, use_super) all static."""
+    return jax.jit(fn, static_argnums=(0, 1, 2))
+
+
+def _bin_stage(cfg, use_super, pos, vel):
+    if use_super:
+        from ..ops import supertable
+
+        return supertable.build_super_table(cfg, pos, vel)
+    from ..ops import celltable
+
+    return celltable.build_cell_table(cfg, pos, vel)
+
+
+def _seed_stage(cfg, use_pallas, use_super, table, pos):
     from ..ops import celltable, levelset
 
-    phi0, cpos0 = celltable.seed_closest_from_table(cfg, table, levelset.FAR)
+    if use_super:
+        from ..ops import supertable
+
+        phi0, cpos0 = supertable.seed_closest_from_super(
+            cfg, table, levelset.FAR
+        )
+    else:
+        phi0, cpos0 = celltable.seed_closest_from_table(
+            cfg, table, levelset.FAR
+        )
     phi0, cpos0 = celltable.seed_overflow_correction(cfg, table, pos, phi0, cpos0)
     if use_pallas:
         from ..ops.pallas_seed import neighborhood_pass_pallas
@@ -132,7 +157,15 @@ def _sweep_stage(cfg, use_pallas, phi, cpos):
     return levelset.sweep_closest(cfg, phi, cpos)
 
 
-def _p2g_stage(cfg, use_pallas, table, pos, vel):
+def _p2g_stage(cfg, use_pallas, use_super, table, pos, vel):
+    if use_super and use_pallas:
+        from ..ops.pallas_p2g_super import p2g_from_super_pallas
+
+        return p2g_from_super_pallas(cfg, table, pos, vel)
+    if use_super:
+        from ..ops import supertable
+
+        return supertable.p2g_from_super(cfg, table, pos, vel)
     if use_pallas:
         from ..ops.pallas_p2g import p2g_from_table_pallas
 
@@ -160,35 +193,40 @@ def profile_step(
     END_FRAME times the final full-state fetch (the reference's blocking
     profiler collect, GPUProfiler.cpp:49-84).
     """
-    from ..ops import advect, blur, celltable, extrapolate, flip, forces, project
-    from ..solver.step3d import pic_flip_alpha, use_pallas_kernels
+    from ..ops import advect, blur, extrapolate, flip, forces, project
+    from ..solver.step3d import (
+        pic_flip_alpha,
+        use_pallas_kernels,
+        use_super_table,
+    )
 
     prof = StageProfiler()
     dt = jnp.float32(dt)
     use_pallas = fast and use_pallas_kernels(cfg)
+    use_super = fast and use_super_table(cfg)
 
     pos = prof.timed(
         "ADVECT", _jitted(advect.advect_rk3),
         cfg, state.u, state.v, state.w, state.pos, dt,
     )
     vel = state.vel
-    # The dense cell table subsumes the reference's count/prefix-sum/bin
-    # trio (no host round trip, no atomics).
+    # The dense (super)cell table subsumes the reference's count/prefix-sum/
+    # bin trio (no host round trip, no atomics).
     table = prof.timed(
-        "TRANSFERPTG_BIN", _jitted(celltable.build_cell_table),
-        cfg, pos, vel,
+        "TRANSFERPTG_BIN", _jitted2(_bin_stage),
+        cfg, use_super, pos, vel,
     )
     phi0, cpos0 = prof.timed(
-        "TRANSFERPTG_LEVELSET_ZERO", _jitted2(_seed_stage),
-        cfg, use_pallas, table, pos,
+        "TRANSFERPTG_LEVELSET_ZERO", _jitted3(_seed_stage),
+        cfg, use_pallas, use_super, table, pos,
     )
     phi, _ = prof.timed(
         "TRANSFERPTG_LEVELSET_SWEEP", _jitted2(_sweep_stage),
         cfg, use_pallas, phi0, cpos0,
     )
     u, v, w, uv, vv, wv = prof.timed(
-        "TRANSFERPTG_VELOCITY", _jitted2(_p2g_stage),
-        cfg, use_pallas, table, pos, vel,
+        "TRANSFERPTG_VELOCITY", _jitted3(_p2g_stage),
+        cfg, use_pallas, use_super, table, pos, vel,
     )
     ex = _jitted_nostatic(extrapolate.extrapolate_one_ring)
     u = prof.timed("TRANSFERPTG_VELOCITY_EXTRAPOLATE", lambda: (ex(u, uv)))

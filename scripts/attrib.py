@@ -56,16 +56,30 @@ def build_prefixes(cfg, use_pallas):
     from fluidsimulation_tpu.ops.forces import add_gravity
     from fluidsimulation_tpu.ops.levelset import FAR, neighborhood_pass, sweep_closest
     from fluidsimulation_tpu.ops.project import project
+    from fluidsimulation_tpu.ops.supertable import (
+        build_super_table,
+        p2g_from_super,
+        seed_closest_from_super,
+    )
+    from fluidsimulation_tpu.solver.step3d import use_super_table
+
+    use_super = use_super_table(cfg)
 
     def upto(k):
         def fn(state, dt):
             pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt)
             if k == 0:
                 return pos
-            table = build_cell_table(cfg, pos, state.vel)
+            if use_super:
+                table = build_super_table(cfg, pos, state.vel)
+            else:
+                table = build_cell_table(cfg, pos, state.vel)
             if k == 1:
                 return table
-            phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
+            if use_super:
+                phi0, cpos0 = seed_closest_from_super(cfg, table, FAR)
+            else:
+                phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
             phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
             if use_pallas:
                 from fluidsimulation_tpu.ops.pallas_seed import neighborhood_pass_pallas
@@ -83,7 +97,15 @@ def build_prefixes(cfg, use_pallas):
                 phi, cpos = sweep_closest(cfg, phi, cpos)
             if k == 3:
                 return phi, cpos
-            if use_pallas:
+            if use_super and use_pallas and (cfg.ny // 2) % 8 == 0:
+                from fluidsimulation_tpu.ops.pallas_p2g_super import (
+                    p2g_from_super_pallas,
+                )
+
+                u, v, w, uv, vv, wv = p2g_from_super_pallas(cfg, table, pos, state.vel)
+            elif use_super:
+                u, v, w, uv, vv, wv = p2g_from_super(cfg, table, pos, state.vel)
+            elif use_pallas:
                 from fluidsimulation_tpu.ops.pallas_p2g import p2g_from_table_pallas
 
                 u, v, w, uv, vv, wv = p2g_from_table_pallas(cfg, table, pos, state.vel)

@@ -53,3 +53,38 @@ def test_fused27_matches_per_component():
         np.testing.assert_allclose(
             np.asarray(a[i])[valid], np.asarray(b[i])[valid], atol=1e-5
         )
+
+
+def test_pallas_p2g_overflow_correction_units():
+    """Regression: the overflow correction takes positions in CELL units;
+    passing meters silently mis-binned overflow contributions (round-3 fix).
+    Cram > K particles into one cell so overflow fires, then compare against
+    the exact direct P2G."""
+    from fluidsimulation_tpu.ops import p2g as direct
+
+    pos, _ = dam_break_particles(CFG)
+    u, v, w = noise_grids(CFG, seed=11)
+    m = np.array([16, 16, 16], np.float32)
+    vel = np.stack(
+        solver3d.interp_mac(u, v, w, m[0] * pos[:, 0], m[1] * pos[:, 1], m[2] * pos[:, 2]),
+        axis=-1,
+    ).astype(np.float32)
+    K = ct.default_k(CFG)
+    n_extra = 2 * K + 3
+    rng = np.random.default_rng(3)
+    p = np.asarray(pos).copy()
+    p[:n_extra] = (8.0 + rng.uniform(-0.45, 0.45, size=(n_extra, 3))) / 16.0
+    p = jnp.asarray(p)
+    v2 = jnp.asarray(vel)
+
+    table = ct.build_cell_table(CFG, p, v2)
+    assert int(table.n_overflow) > 0
+    got = pp.p2g_from_table_pallas(CFG, table, p, v2)
+    want = direct.transfer_to_grid(CFG, p, v2)
+    for i in range(3):
+        valid = np.asarray(want[3 + i])
+        np.testing.assert_array_equal(np.asarray(got[3 + i]), valid)
+        np.testing.assert_allclose(
+            np.asarray(got[i])[valid], np.asarray(want[i])[valid],
+            rtol=2e-4, atol=2e-4,
+        )

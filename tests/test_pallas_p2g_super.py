@@ -1,0 +1,57 @@
+"""Pallas supercell P2G tile kernel vs the XLA supertable path (interpret
+mode on CPU; tests/test_tpu_kernels.py compile-smokes Mosaic on real TPU)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.seeding import dam_break_particles, noise_grids
+from fluidsimulation_tpu.ops import p2g as direct
+from fluidsimulation_tpu.ops import pallas_p2g_super as pps
+from fluidsimulation_tpu.ops import supertable as st
+from fluidsimulation_tpu.reference import solver3d
+
+CFG = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0,
+                particles_per_cell_axis=1)
+
+
+def _seeded(seed=7, cram=0):
+    pos, _ = dam_break_particles(CFG)
+    u, v, w = noise_grids(CFG, seed=seed)
+    m = np.array([16, 16, 16], np.float32)
+    p = np.asarray(pos).copy()
+    if cram:
+        rng = np.random.default_rng(5)
+        p[:cram] = (8.0 + rng.uniform(-0.45, 0.45, size=(cram, 3))) / 16.0
+    vel = np.stack(
+        solver3d.interp_mac(u, v, w, m[0] * p[:, 0], m[1] * p[:, 1], m[2] * p[:, 2]),
+        axis=-1,
+    ).astype(np.float32)
+    return jnp.asarray(p), jnp.asarray(vel)
+
+
+def _check(got, want):
+    for i in range(3):
+        valid = np.asarray(want[3 + i])
+        np.testing.assert_array_equal(np.asarray(got[3 + i]), valid)
+        np.testing.assert_allclose(
+            np.asarray(got[i])[valid], np.asarray(want[i])[valid],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_pallas_super_p2g_matches_direct_interpret():
+    pos, vel = _seeded()
+    table = st.build_super_table(CFG, pos, vel)
+    got = pps.p2g_from_super_pallas(CFG, table, pos, vel)
+    _check(got, direct.transfer_to_grid(CFG, pos, vel))
+
+
+def test_pallas_super_p2g_overflow_interpret():
+    Ks = st.super_k(CFG)
+    pos, vel = _seeded(seed=9, cram=3 * Ks)
+    table = st.build_super_table(CFG, pos, vel)
+    assert int(table.n_overflow) > 0
+    got = pps.p2g_from_super_pallas(CFG, table, pos, vel)
+    _check(got, direct.transfer_to_grid(CFG, pos, vel))

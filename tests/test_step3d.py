@@ -118,3 +118,24 @@ def test_jit_single_compilation_whole_step():
         lambda s, dt: step_jit.__wrapped__(s, dt, CFG, True)
     ).lower(state, 0.01)
     assert lowered.compile() is not None
+
+
+def test_fast_slow_equivalence_supertable():
+    """ppc_axis=1 routes the fast path through the supercell table
+    (solver.step3d.use_super_table); it must agree with the direct path."""
+    from fluidsimulation_tpu.solver.step3d import use_super_table
+
+    cfg = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0,
+                    particles_per_cell_axis=1)
+    assert use_super_table(cfg)
+    state = init_state(cfg)
+    for _ in range(3):
+        a = step_jit(state, 0.01, cfg, fast=True)
+        b = step_jit(state, 0.01, cfg, fast=False)
+        state = a
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)

@@ -91,3 +91,23 @@ def test_tpu_fused_step_runs():
         state = step_jit(state, 0.01, CFG)
     assert np.isfinite(np.asarray(state.vel)).all()
     assert np.isfinite(np.asarray(state.pos)).all()
+
+
+@requires_tpu
+def test_tpu_pallas_p2g_super():
+    from fluidsimulation_tpu.ops import supertable as st
+    from fluidsimulation_tpu.ops.pallas_p2g_super import p2g_from_super_pallas
+
+    cfg = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0,
+                    particles_per_cell_axis=1)
+    state = init_state(cfg)
+    table = st.build_super_table(cfg, state.pos, state.vel)
+    got = p2g_from_super_pallas(cfg, table, state.pos, state.vel)
+    want = st.p2g_from_super(cfg, table, state.pos, state.vel)
+    for i in range(3):
+        valid = np.asarray(want[3 + i])
+        np.testing.assert_array_equal(np.asarray(got[3 + i]), valid)
+        np.testing.assert_allclose(
+            np.asarray(got[i])[valid], np.asarray(want[i])[valid],
+            rtol=2e-4, atol=2e-4,
+        )
