@@ -56,69 +56,129 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
         sy0 = jnp.asarray(j * ty, jnp.float32)
 
         px, py, pz, vx, vy, vz, pres = [r[:] for r in ins]
-        vel3 = (vx, vy, vz)
 
-        # Supercell coordinates of the output tile (cell coords are
-        # 2*super + parity), broadcast over (tx, ty, 1, nz).
-        gx = sx0 + jax.lax.broadcasted_iota(
-            jnp.int32, (tx, ty, 1, nz), 0
+        # Slot-relative coordinates, hoisted OUT of the window loops: with
+        # gxh the slot's OWN supercell x (halo extent), qx = px - 2*gxh is
+        # small (in [-0.5, 1.5) for present slots), and the per-window
+        # per-parity rel coordinate is relx = qx + (2*ox - parx) — all
+        # operands exact in f32 (diffs of nearby values / small integers),
+        # so results are bit-identical to the direct px - fx form while the
+        # expensive tensors (z-shift relayouts, hat weights, membership
+        # offsets) are computed once per (dz | parx,ox | pary,oy) instead
+        # of once per window term.
+        gxh = (sx0 - 1.0) + jax.lax.broadcasted_iota(
+            jnp.int32, (tx + 2, 1, 1, 1), 0
         ).astype(jnp.float32)
-        gy = sy0 + jax.lax.broadcasted_iota(
-            jnp.int32, (tx, ty, 1, nz), 1
+        gyh = (sy0 - 1.0) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, ty + 2, 1, 1), 1
         ).astype(jnp.float32)
         fz = jax.lax.broadcasted_iota(
-            jnp.int32, (tx, ty, 1, nz), 3
+            jnp.int32, (1, 1, 1, nz), 3
         ).astype(jnp.float32)
 
-        for parx in range(2):
-            for pary in range(2):
-                p = parx * 2 + pary
-                fx = 2.0 * gx + parx
-                fy = 2.0 * gy + pary
-                acc = [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
-                amt = [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
-                # x/y supercell offsets covering cells f-1..f+1:
-                # parity 0 -> {-1, 0}, parity 1 -> {0, +1}.
+        acc = [
+            [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+            for _ in range(4)
+        ]
+        amt = [
+            [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+            for _ in range(4)
+        ]
+
+        def hat(r):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(r))
+
+        for dz in (-1, 0, 1):
+            zs_ = slice(1 + dz, 1 + dz + nz)
+            # One lane relayout per field per dz (7*3 total).
+            pxz = px[:, :, :, zs_]
+            pyz = py[:, :, :, zs_]
+            pzz = pz[:, :, :, zs_]
+            velz = (vx[:, :, :, zs_], vy[:, :, :, zs_], vz[:, :, :, zs_])
+            presz = pres[:, :, :, zs_]
+
+            qz = pzz - fz
+            zn = hat(qz)
+            zs_w = hat(qz - 0.5)
+            qx = pxz - 2.0 * gxh
+            qy = pyz - 2.0 * gyh
+            dcx0 = jnp.floor(pxz + 0.5) - 2.0 * gxh
+            dcy0 = jnp.floor(pyz + 0.5) - 2.0 * gyh
+
+            # Per (parity, offset) 1-D family tensors on the halo extent;
+            # window terms below take free outer-dim slices of these.
+            # Membership masks are FOLDED into the weight tensors here (one
+            # where() per family member instead of two extra multiplies per
+            # window term below).  wgt = w * mask and wgt = where(mask, w, 0)
+            # are bit-identical (w finite, mask in {0,1}).
+            xw = {}
+            for parx in range(2):
                 for ox in ((-1, 0) if parx == 0 else (0, 1)):
-                    for oy in ((-1, 0) if pary == 0 else (0, 1)):
-                        for dz in (-1, 0, 1):
-                            sl = (
-                                slice(1 + ox, 1 + ox + tx),
-                                slice(1 + oy, 1 + oy + ty),
-                                slice(None),
-                                slice(1 + dz, 1 + dz + nz),
-                            )
-                            rels = (px[sl] - fx, py[sl] - fy, pz[sl] - fz)
-                            wn = [
-                                jnp.maximum(0.0, 1.0 - jnp.abs(r))
-                                for r in rels
-                            ]
-                            ws = [
-                                jnp.maximum(0.0, 1.0 - jnp.abs(r - 0.5))
-                                for r in rels
-                            ]
-                            # Membership: the contributing CELL of each slot
-                            # relative to the output cell, along pooled axes.
-                            dcx = jnp.floor(px[sl] + 0.5) - fx
-                            dcy = jnp.floor(py[sl] + 0.5) - fy
-                            mx_n = (dcx >= -1.0) & (dcx <= 1.0)
-                            mx_s = (dcx >= 0.0) & (dcx <= 1.0)
-                            my_n = (dcy >= -1.0) & (dcy <= 1.0)
-                            my_s = (dcy >= 0.0) & (dcy <= 1.0)
-                            base = pres[sl]
-                            for a in range(3):
-                                if a == 2 and dz not in (0, 1):
-                                    continue
-                                wgt = base
-                                for ax in range(3):
-                                    wgt = wgt * (ws[ax] if ax == a else wn[ax])
-                                wgt = wgt * (mx_s if a == 0 else mx_n)
-                                wgt = wgt * (my_s if a == 1 else my_n)
-                                acc[a] = acc[a] + (wgt * vel3[a][sl]).sum(2)
-                                amt[a] = amt[a] + wgt.sum(2)
-                for a in range(3):
-                    outs[2 * a][p] = acc[a]
-                    outs[2 * a + 1][p] = amt[a]
+                    A = slice(1 + ox, 1 + ox + tx)
+                    cx = jnp.float32(2 * ox - parx)
+                    rx = qx[A] + cx
+                    dcx = dcx0[A] + cx
+                    mx_n = (dcx >= -1.0) & (dcx <= 1.0)
+                    mx_s = (dcx >= 0.0) & (dcx <= 1.0)
+                    xw[parx, ox] = (
+                        jnp.where(mx_n, hat(rx), 0.0),
+                        jnp.where(mx_s, hat(rx - 0.5), 0.0),
+                    )
+            yw = {}
+            for pary in range(2):
+                for oy in ((-1, 0) if pary == 0 else (0, 1)):
+                    B = slice(1 + oy, 1 + oy + ty)
+                    cy = jnp.float32(2 * oy - pary)
+                    ry = qy[:, B] + cy
+                    dcy = dcy0[:, B] + cy
+                    my_n = (dcy >= -1.0) & (dcy <= 1.0)
+                    my_s = (dcy >= 0.0) & (dcy <= 1.0)
+                    yw[pary, oy] = (
+                        jnp.where(my_n, hat(ry), 0.0),
+                        jnp.where(my_s, hat(ry - 0.5), 0.0),
+                    )
+
+            for parx in range(2):
+                for pary in range(2):
+                    p = parx * 2 + pary
+                    for ox in ((-1, 0) if parx == 0 else (0, 1)):
+                        for oy in ((-1, 0) if pary == 0 else (0, 1)):
+                            A = slice(1 + ox, 1 + ox + tx)
+                            B = slice(1 + oy, 1 + oy + ty)
+                            wn_x, ws_x = [t[:, B] for t in xw[parx, ox]]
+                            wn_y, ws_y = [t[A] for t in yw[pary, oy]]
+                            base = presz[A, B]
+                            znb = zn[A, B]
+                            # Fully-dead component/window combos: the
+                            # staggered-x membership (cells {0,1}) can never
+                            # hold for parx=0, ox=-1 (slot cells {-2,-1});
+                            # same along y.  Skip them outright.
+                            u_dead = parx == 0 and ox == -1
+                            v_dead = pary == 0 and oy == -1
+                            # Shared partial products across components.
+                            bny = base * wn_y
+                            if not u_dead:
+                                wgt = bny * ws_x * znb
+                                acc[p][0] = acc[p][0] + (
+                                    wgt * velz[0][A, B]
+                                ).sum(2)
+                                amt[p][0] = amt[p][0] + wgt.sum(2)
+                            if not v_dead:
+                                wgt = base * wn_x * ws_y * znb
+                                acc[p][1] = acc[p][1] + (
+                                    wgt * velz[1][A, B]
+                                ).sum(2)
+                                amt[p][1] = amt[p][1] + wgt.sum(2)
+                            if dz in (0, 1):
+                                wgt = bny * wn_x * zs_w[A, B]
+                                acc[p][2] = acc[p][2] + (
+                                    wgt * velz[2][A, B]
+                                ).sum(2)
+                                amt[p][2] = amt[p][2] + wgt.sum(2)
+        for p in range(4):
+            for a in range(3):
+                outs[2 * a][p] = acc[p][a]
+                outs[2 * a + 1][p] = amt[p][a]
 
     in_spec = pl.BlockSpec(
         (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(Ks), pl.Element(nz + 2)),

@@ -384,7 +384,7 @@ def trace_glass(co, ci):
 
 # -- water intersection ------------------------------------------------------
 
-def intersect_water(md, inv_m0, co, ci, max_t):
+def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
     """Render.fx:358-424.  Returns (p_shifted, t).
 
     ``md`` is the distance-field sampler (map_dist flavor); the fixed
@@ -393,6 +393,10 @@ def intersect_water(md, inv_m0, co, ci, max_t):
     converged the loop stops (individual lanes stop updating the moment
     their own break condition fires — identical results, fewer map calls).
     The inside branch only runs when some lane starts inside the water.
+
+    ``dead`` marks rays whose result is discarded upstream (zero-weight
+    bounce children, e.g. full-TIR fresnel): they are treated like junk
+    lanes so they never stall the whole-batch early exits.
     """
     p0 = co + 0.5
     initial = md(p0)
@@ -403,6 +407,8 @@ def intersect_water(md, inv_m0, co, ci, max_t):
     # (they otherwise march the full worst-case trip counts: measured as the
     # dominant render cost, sky pixels dragging every band to 64/128 steps).
     junk = max_t >= LARGE
+    if dead is not None:
+        junk = junk | dead
 
     # --- outside: 64-step sphere trace (Render.fx:369-381)
     def out_cond(c):
@@ -522,18 +528,22 @@ def trace_water0(co, ci):
     return prim_alpha[..., None] * sample_environment(prim_ci) + refl_sum
 
 
-def _expand_bounce(md, inv_m0, co, ci):
+def _expand_bounce(md, inv_m0, co, ci, w=None):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
     weight 1 (the reference's traceWater0 straight call); on a hit the
     children are the fresnel-weighted reflection and transmission.  Note the
     reference evaluates *both* recursive calls unconditionally in HLSL, so
-    zero-weight children (TIR) are traced there too — identical here."""
+    zero-weight children (TIR) are traced there too — here they skip the
+    march (``dead`` lanes): their color is multiplied by the exact-zero
+    accumulated weight upstream, so the output is unchanged while the
+    whole-batch early exits stop being dragged by discarded lanes."""
     co = co + 0.001 * ci
     half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
     _, max_t, _, _ = intersect_aabb(co, ci, -half, half)
-    p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t)
+    dead = None if w is None else (w <= 0.0)
+    p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead)
     ipoint = p_hit - 0.5
     # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
     # an epsilon-escaped bounce child: forward it as a miss (the reference's
@@ -572,7 +582,7 @@ def trace_water2(md, inv_m0, co, ci):
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
-    ip2, d_c, w_c, d_d, w_d = _expand_bounce(md, inv_m0, co2, d2)
+    ip2, d_c, w_c, d_d, w_d = _expand_bounce(md, inv_m0, co2, d2, w=w2)
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
     w3 = jnp.concatenate([w2 * w_c, w2 * w_d], axis=0)
