@@ -183,3 +183,164 @@ def interp_mac3_packed_vec(pu, pv, pw, dims, pos_cells):
         pu, pv, pw, dims, flat[:, 0], flat[:, 1], flat[:, 2]
     )
     return jnp.stack([uval, vval, wval], axis=-1).reshape(*shape, 3)
+
+
+# -- fat-row pair interpolation (two grid sets, one gather) ------------------
+
+def pack_mac3_pair(macA, macB):
+    """Build fat pair tables directly: per-component rows of 256 lanes,
+    lanes [0:128] = pack_mac3(macA)'s row, [128:256] = pack_mac3(macB)'s —
+    bit-identical to concatenating the two packs but materialized once
+    (one 8-way stack instead of two 4-way stacks plus a 250 MB concat)."""
+    uA, vA, wA = macA
+    uB, vB, wB = macB
+    nx = uA.shape[0] - 1
+    ny = vA.shape[1] - 1
+    nz = wA.shape[2] - 1
+
+    def corners(sa, sb, x0, x1, y0, y1):
+        return [
+            sa[x0, y0], sa[x0, y1], sa[x1, y0], sa[x1, y1],
+            sb[x0, y0], sb[x0, y1], sb[x1, y0], sb[x1, y1],
+        ]
+
+    sa, sb = _segments(uA), _segments(uB)
+    pu = jnp.stack(
+        corners(sa, sb, slice(0, nx), slice(1, nx + 1),
+                slice(0, ny - 1), slice(1, ny)),
+        axis=3,
+    ).reshape(nx * (ny - 1) * _nseg(nz), 8 * _L)
+
+    sa, sb = _segments(vA), _segments(vB)
+    pv = jnp.stack(
+        corners(sa, sb, slice(0, nx - 1), slice(1, nx),
+                slice(0, ny), slice(1, ny + 1)),
+        axis=3,
+    ).reshape((nx - 1) * ny * _nseg(nz), 8 * _L)
+
+    sa = _segments(jnp.transpose(wA, (1, 2, 0)))
+    sb = _segments(jnp.transpose(wB, (1, 2, 0)))
+    pw = jnp.stack(
+        corners(sa, sb, slice(0, ny - 1), slice(1, ny),
+                slice(0, nz), slice(1, nz + 1)),
+        axis=3,
+    ).reshape((ny - 1) * nz * _nseg(nx), 8 * _L)
+    return pu, pv, pw
+
+def _hat_reduce2(rows2, q, seg):
+    """rows2: (N, 2, 4, L) — two stacked grid-set rows; same lane-hat reduce
+    as _hat_reduce applied to both halves (bit-identical per half)."""
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, _L), 3)
+    zpos = jnp.float32(_S) * seg[:, None, None, None] + lane
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(q[:, None, None, None] - zpos))
+    return (rows2 * wz).sum(-1)  # (N, 2, 4)
+
+
+def _corner_mix2(zred2, fa, fb):
+    w = jnp.stack(
+        [
+            (1 - fa) * (1 - fb),
+            (1 - fa) * fb,
+            fa * (1 - fb),
+            fa * fb,
+        ],
+        axis=-1,
+    )
+    return (zred2 * w[:, None, :]).sum(-1)  # (N, 2)
+
+
+def interp_mac3_packed_pair(pu2, pv2, pw2, dims, pi, pj, pk):
+    """Interpolate TWO grid sets with ONE row gather per component.
+
+    pu2/pv2/pw2 are fat tables: per-component rows of 256 lanes, lanes
+    [0:128] = grid set A's pack_mac3 row, lanes [128:256] = grid set B's
+    (build with ``jnp.concatenate([packA, packB], axis=1)``).  Gather cost
+    is per-transaction, so fetching 1 KB instead of 512 B is ~free; both
+    interpolants come out of the same row.  Results are bit-identical to
+    interp_mac3_packed on each set separately (same keys, same reduce
+    order).  Returns ((uA,vA,wA), (uB,vB,wB)).
+    """
+    nx, ny, nz = dims
+    ns = _nseg(nz)
+    nsx = _nseg(nx)
+
+    iI, fI, nI = _split_normal(pi, nx)
+    iJ, fJ, nJ = _split_normal(pj, ny)
+    iK, fK, nK = _split_normal(pk, nz)
+    iEI, fEI = _split_extended(pi, nx)
+    iEJ, fEJ = _split_extended(pj, ny)
+    iEK, fEK = _split_extended(pk, nz)
+
+    segz = (iK / _S).astype(jnp.int32)
+    segx = (iI / _S).astype(jnp.int32)
+
+    key = (iEI.astype(jnp.int32) * (ny - 1) + iJ.astype(jnp.int32)) * ns + segz
+    rows2 = pu2[key].reshape(-1, 2, 4, _L)
+    uval = _corner_mix2(_hat_reduce2(rows2, nK, segz.astype(jnp.float32)), fEI, fJ)
+
+    key = (iI.astype(jnp.int32) * ny + iEJ.astype(jnp.int32)) * ns + segz
+    rows2 = pv2[key].reshape(-1, 2, 4, _L)
+    vval = _corner_mix2(_hat_reduce2(rows2, nK, segz.astype(jnp.float32)), fI, fEJ)
+
+    key = (iJ.astype(jnp.int32) * nz + iEK.astype(jnp.int32)) * nsx + segx
+    rows2 = pw2[key].reshape(-1, 2, 4, _L)
+    wval = _corner_mix2(_hat_reduce2(rows2, nI, segx.astype(jnp.float32)), fJ, fEK)
+
+    return (
+        (uval[:, 0], vval[:, 0], wval[:, 0]),
+        (uval[:, 1], vval[:, 1], wval[:, 1]),
+    )
+
+
+def interp_mac3_packed_pair_vec(pu2, pv2, pw2, dims, pos_cells):
+    shape = pos_cells.shape[:-1]
+    flat = pos_cells.reshape(-1, 3)
+    a, b = interp_mac3_packed_pair(
+        pu2, pv2, pw2, dims, flat[:, 0], flat[:, 1], flat[:, 2]
+    )
+    va = jnp.stack(a, axis=-1).reshape(*shape, 3)
+    vb = jnp.stack(b, axis=-1).reshape(*shape, 3)
+    return va, vb
+
+
+def interp_mac3_packed_half(pu2, pv2, pw2, dims, pi, pj, pk, half: int = 1):
+    """Interpolate ONE of a fat pair table's grid sets (lane half ``half``).
+    The gathered row is 1 KB instead of 512 B — same per-transaction cost —
+    and only the selected half is reduced.  Bit-identical to
+    interp_mac3_packed on that set's plain pack."""
+    nx, ny, nz = dims
+    ns = _nseg(nz)
+    nsx = _nseg(nx)
+
+    iI, fI, nI = _split_normal(pi, nx)
+    iJ, fJ, nJ = _split_normal(pj, ny)
+    iK, fK, nK = _split_normal(pk, nz)
+    iEI, fEI = _split_extended(pi, nx)
+    iEJ, fEJ = _split_extended(pj, ny)
+    iEK, fEK = _split_extended(pk, nz)
+
+    segz = (iK / _S).astype(jnp.int32)
+    segx = (iI / _S).astype(jnp.int32)
+
+    key = (iEI.astype(jnp.int32) * (ny - 1) + iJ.astype(jnp.int32)) * ns + segz
+    rows = pu2[key].reshape(-1, 2, 4, _L)[:, half]
+    uval = _corner_mix(_hat_reduce(rows, nK, segz.astype(jnp.float32)), fEI, fJ)
+
+    key = (iI.astype(jnp.int32) * ny + iEJ.astype(jnp.int32)) * ns + segz
+    rows = pv2[key].reshape(-1, 2, 4, _L)[:, half]
+    vval = _corner_mix(_hat_reduce(rows, nK, segz.astype(jnp.float32)), fI, fEJ)
+
+    key = (iJ.astype(jnp.int32) * nz + iEK.astype(jnp.int32)) * nsx + segx
+    rows = pw2[key].reshape(-1, 2, 4, _L)[:, half]
+    wval = _corner_mix(_hat_reduce(rows, nI, segx.astype(jnp.float32)), fJ, fEK)
+
+    return uval, vval, wval
+
+
+def interp_mac3_packed_half_vec(pu2, pv2, pw2, dims, pos_cells, half: int = 1):
+    shape = pos_cells.shape[:-1]
+    flat = pos_cells.reshape(-1, 3)
+    vals = interp_mac3_packed_half(
+        pu2, pv2, pw2, dims, flat[:, 0], flat[:, 1], flat[:, 2], half=half
+    )
+    return jnp.stack(vals, axis=-1).reshape(*shape, 3)

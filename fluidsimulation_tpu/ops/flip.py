@@ -35,3 +35,32 @@ def flip_update(
     else:
         diff = interp_mac3_vec(du, dv, dw, pos * m)
     return (1.0 - alpha) * vel + diff
+
+
+def flip_update_carry(
+    cfg: SimConfig, pos, vel, u, v, w, old_u, old_v, old_w, alpha
+):
+    """flip_update (packed) that additionally returns the next step's
+    AdvectCache for free: the diff-grid AND the final-grid packs ride the
+    same fat 1 KB rows (gather cost is per-transaction), so interpolating
+    the new grids at pos — RK3 stage 1 of the NEXT advect — adds no gather
+    traffic.  The FLIP result is bit-identical to flip_update(packed=True)
+    (same keys, same reduce order on the diff half).  The cache carries the
+    FAT tables (advect reads their new-grid half via
+    interp_mac3_packed_half; 1 KB rows cost the same per transaction)."""
+    from ..core.interp_packed import (
+        interp_mac3_packed_pair_vec,
+        pack_mac3_pair,
+    )
+    from ..core.state import AdvectCache
+
+    du = u - (1.0 - alpha) * old_u
+    dv = v - (1.0 - alpha) * old_v
+    dw = w - (1.0 - alpha) * old_w
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    fat = pack_mac3_pair((du, dv, dw), (u, v, w))
+    diff, k1 = interp_mac3_packed_pair_vec(
+        *fat, (cfg.nx, cfg.ny, cfg.nz), pos * m
+    )
+    cache = AdvectCache(k1=k1, pu=fat[0], pv=fat[1], pw=fat[2])
+    return (1.0 - alpha) * vel + diff, cache

@@ -434,5 +434,10 @@ def _state_shardings_x(mesh: Mesh) -> SimState:
 
 
 def shard_state_x(state: SimState, mesh: Mesh) -> SimState:
-    """Place a SimState with the layout make_halo_step expects."""
+    """Place a SimState with the layout make_halo_step expects.  The
+    single-chip AdvectCache (if any) is dropped — the halo step runs the
+    uncached advect, which is bit-identical."""
+    import dataclasses
+
+    state = dataclasses.replace(state, cache=None)
     return jax.tree.map(jax.device_put, state, _state_shardings_x(mesh))

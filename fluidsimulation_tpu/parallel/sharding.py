@@ -64,5 +64,11 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, fast: bool = True):
 
 
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
+    import dataclasses
+
+    # The AdvectCache is a single-chip fast-path construct (its packed-row
+    # tables have no natural shard layout); sharded steps run the uncached
+    # advect path, which is bit-identical.
+    state = dataclasses.replace(state, cache=None)
     sh = state_shardings(mesh)
     return jax.tree.map(jax.device_put, state, sh)

@@ -93,7 +93,14 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     )
     from ..ops.levelset import FAR, neighborhood_pass, sweep_closest
 
-    pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt, packed=fast)
+    if fast and state.cache is not None:
+        from ..ops.advect import advect_rk3_cached
+
+        pos = advect_rk3_cached(cfg, state.cache, state.pos, dt)
+    else:
+        pos = advect_rk3(
+            cfg, state.u, state.v, state.w, state.pos, dt, packed=fast
+        )
     vel = state.vel
 
     if fast:
@@ -152,13 +159,39 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     u, v, w, _ = project(cfg, u, v, w, phi, dt)
 
     alpha = pic_flip_alpha(cfg, dt)
-    vel = flip_update(
-        cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha, packed=fast
-    )
+    # Cache discipline: a new AdvectCache is emitted exactly when the input
+    # state carried one (structure-preserving, so lax.scan over steps works
+    # for every (fast, cache) combination); a cache=None state steps to
+    # bit-identical (pos, vel, grids, phi) via the uncached paths.
+    if fast and state.cache is not None:
+        from ..ops.flip import flip_update_carry
+
+        vel, cache = flip_update_carry(
+            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha
+        )
+    else:
+        vel = flip_update(
+            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha, packed=fast
+        )
+        if state.cache is not None:
+            from ..core.interp_packed import (
+                interp_mac3_packed_half_vec,
+                pack_mac3_pair,
+            )
+            from ..core.state import AdvectCache
+
+            pn = pack_mac3_pair((u, v, w), (u, v, w))
+            m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+            k1 = interp_mac3_packed_half_vec(
+                *pn, (cfg.nx, cfg.ny, cfg.nz), pos * m, half=1
+            )
+            cache = AdvectCache(k1=k1, pu=pn[0], pv=pn[1], pw=pn[2])
+        else:
+            cache = None
 
     phi = blur_phi(phi)
 
-    return SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi)
+    return SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi, cache=cache)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fast"))

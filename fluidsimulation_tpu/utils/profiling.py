@@ -205,10 +205,18 @@ def profile_step(
     use_pallas = fast and use_pallas_kernels(cfg)
     use_super = fast and use_super_table(cfg)
 
-    pos = prof.timed(
-        "ADVECT", _jitted(advect.advect_rk3),
-        cfg, state.u, state.v, state.w, state.pos, dt,
-    )
+    if fast and state.cache is not None:
+        # Time the kernel the fused fast step actually runs: cached advect
+        # (stage 1 from the carried k1, stages 2/3 from the fat tables).
+        pos = prof.timed(
+            "ADVECT", _jitted(advect.advect_rk3_cached),
+            cfg, state.cache, state.pos, dt,
+        )
+    else:
+        pos = prof.timed(
+            "ADVECT", _jitted(advect.advect_rk3),
+            cfg, state.u, state.v, state.w, state.pos, dt,
+        )
     vel = state.vel
     # The dense (super)cell table subsumes the reference's count/prefix-sum/
     # bin trio (no host round trip, no atomics).
@@ -253,13 +261,20 @@ def profile_step(
         cfg, u, v, w, p, phi, dt,
     )
     alpha = pic_flip_alpha(cfg, dt)
-    vel = prof.timed(
-        "FLIP_APPLY", _jitted(flip.flip_update),
-        cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
-    )
+    if fast and state.cache is not None:
+        vel, cache = prof.timed(
+            "FLIP_APPLY", _jitted(flip.flip_update_carry),
+            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+        )
+    else:
+        vel = prof.timed(
+            "FLIP_APPLY", _jitted(flip.flip_update),
+            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+        )
+        cache = None
     phi = prof.timed("BLURLEVELSET", _jitted_nostatic(blur.blur_phi), phi)
 
-    new_state = SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi)
+    new_state = SimState(pos=pos, vel=vel, u=u, v=v, w=w, phi=phi, cache=cache)
     if render_fn is not None:
         prof.timed("DRAW", render_fn, new_state)
     prof.timed("END_FRAME", lambda: new_state)

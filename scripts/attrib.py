@@ -67,7 +67,14 @@ def build_prefixes(cfg, use_pallas):
 
     def upto(k):
         def fn(state, dt):
-            pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt)
+            if state.cache is not None:
+                from fluidsimulation_tpu.ops.advect import advect_rk3_cached
+
+                pos = advect_rk3_cached(cfg, state.cache, state.pos, dt)
+            else:
+                pos = advect_rk3(
+                    cfg, state.u, state.v, state.w, state.pos, dt
+                )
             if k == 0:
                 return pos
             if use_super:
@@ -124,7 +131,14 @@ def build_prefixes(cfg, use_pallas):
             if k == 6:
                 return u, v, w, phi
             alpha = pic_flip_alpha(cfg, dt)
-            vel = flip_update(cfg, pos, state.vel, u, v, w, *old, alpha)
+            if state.cache is not None:
+                from fluidsimulation_tpu.ops.flip import flip_update_carry
+
+                vel, _cache = flip_update_carry(
+                    cfg, pos, state.vel, u, v, w, *old, alpha
+                )
+            else:
+                vel = flip_update(cfg, pos, state.vel, u, v, w, *old, alpha)
             phi = blur_phi(phi)
             return pos, vel, u, v, w, phi
 

@@ -139,3 +139,59 @@ def test_fast_slow_equivalence_supertable():
     np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)
+
+
+def test_cached_advect_bit_identical():
+    """The carried AdvectCache (FLIP fat-row k1 + packed tables of the final
+    grids) must make NO numerical difference: stepping with it equals
+    stepping a cache=None state bit-for-bit on every externalizable field,
+    over several chained steps."""
+    import dataclasses
+
+    sc = init_state(CFG)              # cache present (zero cache)
+    sn = dataclasses.replace(sc, cache=None)
+    assert sc.cache is not None
+    for _ in range(3):
+        sc = step_jit(sc, 0.01, CFG, fast=True)
+        sn = step_jit(sn, 0.01, CFG, fast=True)
+    assert sc.cache is not None and sn.cache is None
+    for k in ("pos", "vel", "u", "v", "w", "phi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sc, k)), np.asarray(getattr(sn, k)),
+            err_msg=f"cache path diverged in {k}",
+        )
+
+
+def test_interp_packed_pair_bit_identical():
+    """Fat-row pair interpolation == two separate packed interpolations."""
+    from fluidsimulation_tpu.core.interp_packed import (
+        interp_mac3_packed_pair_vec,
+        interp_mac3_packed_vec,
+        pack_mac3,
+    )
+
+    rng = np.random.default_rng(3)
+    nx = ny = nz = 16
+    ga = [rng.normal(size=s).astype(np.float32)
+          for s in ((nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1))]
+    gb = [rng.normal(size=s).astype(np.float32)
+          for s in ((nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1))]
+    q = rng.uniform(-0.2, 1.2, size=(500, 3)).astype(np.float32) * nx
+    from fluidsimulation_tpu.core.interp_packed import (
+        interp_mac3_packed_half_vec,
+        pack_mac3_pair,
+    )
+
+    pa = pack_mac3(*ga)
+    pb = pack_mac3(*gb)
+    fat = tuple(jnp.concatenate([a, b], axis=1) for a, b in zip(pa, pb))
+    fat2 = pack_mac3_pair(tuple(ga), tuple(gb))
+    for f1, f2 in zip(fat, fat2):
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    va, vb = interp_mac3_packed_pair_vec(*fat, (nx, ny, nz), jnp.asarray(q))
+    vh = interp_mac3_packed_half_vec(*fat, (nx, ny, nz), jnp.asarray(q), half=1)
+    np.testing.assert_array_equal(np.asarray(vh), np.asarray(vb))
+    wa = interp_mac3_packed_vec(*pa, (nx, ny, nz), jnp.asarray(q))
+    wb = interp_mac3_packed_vec(*pb, (nx, ny, nz), jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(wa))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(wb))
