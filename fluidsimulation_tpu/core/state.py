@@ -30,10 +30,9 @@ class AdvectCache:
     k1         : (N, 3) grid velocity interpolated at pos — next-step
                  advect's RK3 stage-1 value, produced for free by FLIP's
                  fat-row gather (ops/flip.py flip_update_carry).
-    pu, pv, pw : FAT pack_mac3_pair tables whose lane half [128:256] is the
-                 pack of the final (u, v, w) grids (half [0:128] is FLIP's
-                 diff pack, unused downstream) — next-step advect's
-                 stage-2/3 interpolation tables, skipping its pack.
+    pu, pv, pw : pack_mac3 tables of the final (u, v, w) grids (sliced
+                 from FLIP's fat pair pack) — next-step advect's stage-2/3
+                 interpolation tables, skipping its pack.
 
     All values are pure functions of (pos, vel, u, v, w): a state with
     cache=None steps to bit-identical (pos, vel, grids, phi) via the
@@ -77,9 +76,9 @@ def zero_cache(cfg: SimConfig, n_particles: int) -> AdvectCache:
     ns, nsx = _nseg(nz), _nseg(nx)
     return AdvectCache(
         k1=np.zeros((n_particles, 3), f32),
-        pu=np.zeros((nx * (ny - 1) * ns, 8 * _L), f32),
-        pv=np.zeros(((nx - 1) * ny * ns, 8 * _L), f32),
-        pw=np.zeros(((ny - 1) * nz * nsx, 8 * _L), f32),
+        pu=np.zeros((nx * (ny - 1) * ns, 4 * _L), f32),
+        pv=np.zeros(((nx - 1) * ny * ns, 4 * _L), f32),
+        pw=np.zeros(((ny - 1) * nz * nsx, 4 * _L), f32),
     )
 
 

@@ -52,18 +52,14 @@ def advect_rk3_cached(cfg: SimConfig, cache, pos, dt):
     """advect_rk3 fast path using the previous step's AdvectCache: stage 1
     comes out of the cache (it was produced by FLIP's fat-row gather at
     exactly these positions from exactly these grids) and stages 2/3 gather
-    the new-grid half of the cached FAT pair tables of the same grids —
-    skipping this step's pack and 3 of its 9 row gathers.  Bit-identical to
+    from the cached pack_mac3 tables of the same grids — skipping this
+    step's pack and 3 of its 9 row gathers.  Bit-identical to
     advect_rk3(..., packed=True) by construction."""
-    from ..core.interp_packed import interp_mac3_packed_half_vec
-
     m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
     dims = (cfg.nx, cfg.ny, cfg.nz)
 
     def vel_at(p):
-        return interp_mac3_packed_half_vec(
-            cache.pu, cache.pv, cache.pw, dims, p * m, half=1
-        )
+        return interp_mac3_packed_vec(cache.pu, cache.pv, cache.pw, dims, p * m)
 
     k1 = cache.k1
     k2 = vel_at(pos + 0.5 * dt * k1)

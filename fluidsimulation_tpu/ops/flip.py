@@ -62,5 +62,11 @@ def flip_update_carry(
     diff, k1 = interp_mac3_packed_pair_vec(
         *fat, (cfg.nx, cfg.ny, cfg.nz), pos * m
     )
-    cache = AdvectCache(k1=k1, pu=fat[0], pv=fat[1], pw=fat[2])
+    # Cache the PLAIN new-grid half: advect's stage-2/3 gathers then fetch
+    # 512 B rows instead of 1 KB fat rows whose diff half they'd discard
+    # (1 KB row gathers are ~30-60% dearer — bandwidth, not transactions).
+    L = fat[0].shape[1] // 2
+    cache = AdvectCache(
+        k1=k1, pu=fat[0][:, L:], pv=fat[1][:, L:], pw=fat[2][:, L:]
+    )
     return (1.0 - alpha) * vel + diff, cache

@@ -175,15 +175,15 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
         )
         if state.cache is not None:
             from ..core.interp_packed import (
-                interp_mac3_packed_half_vec,
-                pack_mac3_pair,
+                interp_mac3_packed_vec,
+                pack_mac3,
             )
             from ..core.state import AdvectCache
 
-            pn = pack_mac3_pair((u, v, w), (u, v, w))
+            pn = pack_mac3(u, v, w)
             m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
-            k1 = interp_mac3_packed_half_vec(
-                *pn, (cfg.nx, cfg.ny, cfg.nz), pos * m, half=1
+            k1 = interp_mac3_packed_vec(
+                *pn, (cfg.nx, cfg.ny, cfg.nz), pos * m
             )
             cache = AdvectCache(k1=k1, pu=pn[0], pv=pn[1], pw=pn[2])
         else:

@@ -39,8 +39,9 @@ def main():
     co, right, up, fwd = OrbitCamera().frame(800, 600)
     import numpy as np
 
-    for band, cols in ((64, 200), (8, 100), (16, 100), (32, 100), (64, 100),
-                       (16, 50), (8, 50), (24, 100), (16, 200)):
+    for band, cols in ((64, 100), (32, 100), (64, 200), (32, 200),
+                       (64, 400), (48, 100), (96, 100), (64, 800),
+                       (120, 100), (32, 400)):
         img = render(state.phi, co, right, up, fwd, 800, 600,
                      band_rows=band, band_cols=cols)
         jax.block_until_ready(img)
