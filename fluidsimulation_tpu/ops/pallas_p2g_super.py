@@ -124,6 +124,8 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
                         jnp.where(mx_n, hat(rx), 0.0),
                         jnp.where(mx_s, hat(rx - 0.5), 0.0),
                     )
+            # Presence (exact 0/1) is folded into the y-family too, so the
+            # window terms below need no separate `base` multiply.
             yw = {}
             for pary in range(2):
                 for oy in ((-1, 0) if pary == 0 else (0, 1)):
@@ -133,9 +135,10 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
                     dcy = dcy0[:, B] + cy
                     my_n = (dcy >= -1.0) & (dcy <= 1.0)
                     my_s = (dcy >= 0.0) & (dcy <= 1.0)
+                    pz_b = presz[:, B]
                     yw[pary, oy] = (
-                        jnp.where(my_n, hat(ry), 0.0),
-                        jnp.where(my_s, hat(ry - 0.5), 0.0),
+                        jnp.where(my_n, hat(ry), 0.0) * pz_b,
+                        jnp.where(my_s, hat(ry - 0.5), 0.0) * pz_b,
                     )
 
             for parx in range(2):
@@ -147,7 +150,6 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
                             B = slice(1 + oy, 1 + oy + ty)
                             wn_x, ws_x = [t[:, B] for t in xw[parx, ox]]
                             wn_y, ws_y = [t[A] for t in yw[pary, oy]]
-                            base = presz[A, B]
                             znb = zn[A, B]
                             # Fully-dead component/window combos: the
                             # staggered-x membership (cells {0,1}) can never
@@ -155,22 +157,20 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
                             # same along y.  Skip them outright.
                             u_dead = parx == 0 and ox == -1
                             v_dead = pary == 0 and oy == -1
-                            # Shared partial products across components.
-                            bny = base * wn_y
                             if not u_dead:
-                                wgt = bny * ws_x * znb
+                                wgt = wn_y * ws_x * znb
                                 acc[p][0] = acc[p][0] + (
                                     wgt * velz[0][A, B]
                                 ).sum(2)
                                 amt[p][0] = amt[p][0] + wgt.sum(2)
                             if not v_dead:
-                                wgt = base * wn_x * ws_y * znb
+                                wgt = wn_x * ws_y * znb
                                 acc[p][1] = acc[p][1] + (
                                     wgt * velz[1][A, B]
                                 ).sum(2)
                                 amt[p][1] = amt[p][1] + wgt.sum(2)
                             if dz in (0, 1):
-                                wgt = bny * wn_x * zs_w[A, B]
+                                wgt = wn_y * wn_x * zs_w[A, B]
                                 acc[p][2] = acc[p][2] + (
                                     wgt * velz[2][A, B]
                                 ).sum(2)

@@ -35,6 +35,11 @@ import jax.numpy as jnp
 
 LARGE = 1.0e5  # Render.fx:61 largeNum
 WALL = 0.02  # glass wall thickness, Render.fx:60
+# March sub-steps per while iteration.  MEASURED (scripts/diag_unroll.py,
+# 64^3 settled, in-process A/B): unroll 1 = 269-299 ms/frame, 2 = 332-340,
+# 4 = 363 — the md() row gathers dominate, so extra sub-steps past whole-
+# batch convergence cost more than the saved per-iteration any-reduce.
+_UNROLL = 1
 SPOT = (-0.7, 0.05, 0.5)  # sun direction (normalized below), Render.fx:28
 
 
@@ -174,6 +179,68 @@ def sample_phi_packed(tex: PackedPhi, p):
 
 def map_dist_packed(tex: PackedPhi, p):
     return sample_phi_packed(tex, _warp(p, tex.dims)) / jnp.float32(tex.dims[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedPhi8:
+    """8-lane-row packed texture: row r = the full 2x2x2 corner neighborhood
+    of cell (ix, iy, iz), so one 32 B gather fetches exactly what a trilerp
+    needs.  Measured (CLAUDE.md): 8-lane rows gather at ~7-11 ns/row vs
+    ~12-16 for the 512 B PackedPhi rows, and the z-reduce shrinks 16x.
+    Values are bit-identical to sample_phi_packed (same hat weights; the
+    hat's 30 zero lanes add exact +0.0 in the wide form)."""
+
+    def __init__(self, phi=None, *, rows=None, dims=None):
+        if phi is None:
+            self.rows, self.dims = rows, dims
+            return
+        nx, ny, nz = phi.shape
+        self.dims = (nx, ny, nz)
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(
+                        phi[dx : dx + nx - 1, dy : dy + ny - 1, dz : dz + nz - 1]
+                    )
+        self.rows = jnp.stack(parts, axis=-1).reshape(-1, 8)
+
+    def tree_flatten(self):
+        return (self.rows,), (self.dims,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(rows=children[0], dims=aux[0])
+
+
+def sample_phi_packed8(tex: PackedPhi8, p):
+    """Texture sample equal to sample_phi_packed bit-for-bit."""
+    nx, ny, nz = tex.dims
+    n = jnp.array(tex.dims, jnp.float32)
+    q = jnp.clip(p * n - 0.5, 0.0, n - 1.0)
+    i = jnp.minimum(jnp.floor(q), n - 2.0)
+    f = q - i
+    ix = i[..., 0].astype(jnp.int32)
+    iy = i[..., 1].astype(jnp.int32)
+    iz = i[..., 2].astype(jnp.int32)
+    key = (ix * (ny - 1) + iy) * (nz - 1) + iz
+    shape = key.shape
+    r = tex.rows[key.reshape(-1)]  # (N, 8)
+    qz = q[..., 2].reshape(-1)
+    z0 = i[..., 2].reshape(-1)
+    hat0 = jnp.maximum(0.0, 1.0 - jnp.abs(qz - z0))
+    hat1 = jnp.maximum(0.0, 1.0 - jnp.abs(qz - (z0 + 1.0)))
+    zred = r[:, 0::2] * hat0[:, None] + r[:, 1::2] * hat1[:, None]  # (N, 4)
+    fx = f[..., 0].reshape(-1)
+    fy = f[..., 1].reshape(-1)
+    w4 = jnp.stack(
+        [(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy], axis=-1
+    )
+    return (zred * w4).sum(-1).reshape(shape)
+
+
+def map_dist_packed8(tex: PackedPhi8, p):
+    return sample_phi_packed8(tex, _warp(p, tex.dims)) / jnp.float32(tex.dims[0])
 
 
 GROUND_COLOR = (0.8, 0.8, 0.8)  # Render.fx:27 (floor disabled at :567)
@@ -410,6 +477,10 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
     if dead is not None:
         junk = junk | dead
 
+    # March loops run _UNROLL sub-steps per while iteration: the whole-batch
+    # `any` convergence check (a cross-lane reduce + scalar sync) is paid
+    # 1/_UNROLL as often.  Bit-exact: converged lanes are frozen per-lane by
+    # their `done` flags, so extra sub-steps past convergence change nothing.
     # --- outside: 64-step sphere trace (Render.fx:369-381)
     def out_cond(c):
         i, p, t, done = c
@@ -417,13 +488,15 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
 
     def out_body(c):
         i, p, t, done = c
-        dt = md(p)
-        t2 = t + dt
-        done2 = done | (dt < 0.001) | (t2 >= max_t)
-        p2 = p0 + t2[..., None] * ci
-        t = jnp.where(done, t, t2)
-        p = jnp.where(done[..., None], p, p2)
-        return i + 1, p, t, done2
+        for _ in range(_UNROLL):
+            dt = md(p)
+            t2 = t + dt
+            done2 = done | (dt < 0.001) | (t2 >= max_t)
+            p2 = p0 + t2[..., None] * ci
+            t = jnp.where(done, t, t2)
+            p = jnp.where(done[..., None], p, p2)
+            done = done2
+        return i + _UNROLL, p, t, done
 
     # Lanes that are "inside" never update their done flag meaningfully;
     # mark them done so they don't keep the loop alive.
@@ -445,17 +518,20 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
 
         def fwd_body(c):
             i, p, t, i_exit, exited, boxed = c
-            active = ~(exited | boxed)
-            dt = md(p)
-            t2 = t + step
-            exit_now = active & (dt >= 0.0)
-            box_now = active & ~exit_now & (t2 >= max_t)
-            i_exit = jnp.where(exit_now, i, i_exit)
-            p2 = p0 + t2[..., None] * ci
-            # On exit: t advances but p does not (reference break order).
-            t = jnp.where(active, t2, t)
-            p = jnp.where((active & ~exit_now)[..., None], p2, p)
-            return i + 1, p, t, i_exit, exited | exit_now, boxed | box_now
+            for j in range(_UNROLL):
+                active = ~(exited | boxed)
+                dt = md(p)
+                t2 = t + step
+                exit_now = active & (dt >= 0.0)
+                box_now = active & ~exit_now & (t2 >= max_t)
+                i_exit = jnp.where(exit_now, i + j, i_exit)
+                p2 = p0 + t2[..., None] * ci
+                # On exit: t advances but p does not (reference break order).
+                t = jnp.where(active, t2, t)
+                p = jnp.where((active & ~exit_now)[..., None], p2, p)
+                exited = exited | exit_now
+                boxed = boxed | box_now
+            return i + _UNROLL, p, t, i_exit, exited, boxed
 
         init = (
             jnp.int32(0),
@@ -475,14 +551,18 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
 
         def bwd_body(c):
             k, p, t, done = c
-            active = ((i_exit + k) < 48) & ~done & ~boxed & ~outside & ~junk
-            dt = -md(p)
-            t2 = t + dt
-            done2 = done | (active & (dt > -0.001))
-            p2 = p0 + t2[..., None] * ci
-            t = jnp.where(active, t2, t)
-            p = jnp.where((active & ~(dt > -0.001))[..., None], p2, p)
-            return k + 1, p, t, done2
+            for j in range(_UNROLL):
+                active = (
+                    ((i_exit + k + j) < 48) & ~done & ~boxed & ~outside & ~junk
+                )
+                dt = -md(p)
+                t2 = t + dt
+                done2 = done | (active & (dt > -0.001))
+                p2 = p0 + t2[..., None] * ci
+                t = jnp.where(active, t2, t)
+                p = jnp.where((active & ~(dt > -0.001))[..., None], p2, p)
+                done = done2
+            return k + _UNROLL, p, t, done
 
         _, p_i, t_i, _ = jax.lax.while_loop(
             bwd_cond, bwd_body, (jnp.int32(0), p_i, t_i, jnp.zeros(max_t.shape, bool))
@@ -612,8 +692,15 @@ def shade(phi, co, ci):
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
     frame, render many tiles — the pack costs ~ms at 128^3 and must not be
     paid per tile); all map() sampling goes through the packed texture."""
-    tex = phi if isinstance(phi, PackedPhi) else PackedPhi(phi)
-    md = lambda p: map_dist_packed(tex, p)
+    if isinstance(phi, PackedPhi8):
+        tex = phi
+        md = lambda p: map_dist_packed8(tex, p)
+    elif isinstance(phi, PackedPhi):
+        tex = phi
+        md = lambda p: map_dist_packed(tex, p)
+    else:
+        tex = PackedPhi8(phi)
+        md = lambda p: map_dist_packed8(tex, p)
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
@@ -683,7 +770,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     spatially coherent, so small tiles exit much earlier — measured 2-5x
     over whole-frame.  band_cols defaults to 100 when tiling.
     """
-    tex = phi if isinstance(phi, PackedPhi) else PackedPhi(phi)
+    tex = phi if isinstance(phi, (PackedPhi, PackedPhi8)) else PackedPhi8(phi)
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
