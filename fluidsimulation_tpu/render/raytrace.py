@@ -185,10 +185,14 @@ def map_dist_packed(tex: PackedPhi, p):
 class PackedPhi8:
     """8-lane-row packed texture: row r = the full 2x2x2 corner neighborhood
     of cell (ix, iy, iz), so one 32 B gather fetches exactly what a trilerp
-    needs.  Measured (CLAUDE.md): 8-lane rows gather at ~7-11 ns/row vs
-    ~12-16 for the 512 B PackedPhi rows, and the z-reduce shrinks 16x.
-    Values are bit-identical to sample_phi_packed (same hat weights; the
-    hat's 30 zero lanes add exact +0.0 in the wide form)."""
+    needs.  Bit-identical to sample_phi_packed.
+
+    STATUS: measured SLOWER than PackedPhi end-to-end (scripts/diag_phi8.py,
+    in-process A/B: 449 vs 246 ms/frame at 64^3, 890 vs 436 at 128^3) —
+    the 1M-row microbench's ~7-11 ns/row for 8-lane rows does NOT hold at
+    the renderer's ~6-26k-row march batches, where the 512 B-row gather is
+    ~2x faster per call.  Kept as a documented negative result; NOT the
+    default."""
 
     def __init__(self, phi=None, *, rows=None, dims=None):
         if phi is None:
@@ -699,8 +703,8 @@ def shade(phi, co, ci):
         tex = phi
         md = lambda p: map_dist_packed(tex, p)
     else:
-        tex = PackedPhi8(phi)
-        md = lambda p: map_dist_packed8(tex, p)
+        tex = PackedPhi(phi)
+        md = lambda p: map_dist_packed(tex, p)
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
@@ -770,7 +774,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     spatially coherent, so small tiles exit much earlier — measured 2-5x
     over whole-frame.  band_cols defaults to 100 when tiling.
     """
-    tex = phi if isinstance(phi, (PackedPhi, PackedPhi8)) else PackedPhi8(phi)
+    tex = phi if isinstance(phi, (PackedPhi, PackedPhi8)) else PackedPhi(phi)
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
