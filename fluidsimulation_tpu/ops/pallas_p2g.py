@@ -30,6 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig
 
 
+def p2g_fits_vmem(cfg: SimConfig, K: int, tx: int = 4, ty: int = 8,
+                  budget: int = 14 << 20) -> bool:
+    """Whether the halo-tile kernel's 7 input blocks fit the ~16 MB scoped
+    VMEM limit (with headroom for temps).  128^3 at K=12 (ppc_axis=2) needs
+    21.8 MB at the (4, 8) tile and must fall back to the XLA formulation —
+    Mosaic stack-allocates every live block (CLAUDE.md)."""
+    nz = cfg.nz
+    return 7 * (tx + 2) * (ty + 2) * K * (nz + 2) * 4 < budget
+
+
 def p2g_accumulate_pallas(cfg: SimConfig, slots, tx: int = 4, ty: int = 8):
     """slots: (nx, ny, K, 8, nz) table.  Returns (accs, amts): two lists of
     three (nx, ny, nz) cell-indexed accumulator grids.

@@ -62,9 +62,16 @@ def use_pallas_kernels(cfg: SimConfig) -> bool:
     VMEM halo blocks): single-chip TPU with tile-aligned dims.  XLA
     formulations everywhere else (CPU tests, GSPMD-sharded runs where
     pallas_call can't auto-partition).  Shared by step() and the profiler so
-    attribution matches what actually runs (VERDICT r1 'profiler fidelity')."""
+    attribution matches what actually runs (VERDICT r1 'profiler fidelity').
+
+    FST_NO_PALLAS=1 forces the XLA formulations (escape hatch: the tunneled
+    TPU's remote compile-helper intermittently rejects large Mosaic kernels
+    with a bare 'subprocess exit code 1')."""
+    import os
+
     return (
         jax.default_backend() == "tpu"
+        and os.environ.get("FST_NO_PALLAS", "") != "1"
         and cfg.nx % 8 == 0
         and cfg.ny % 8 == 0
         and cfg.nz % 8 == 0
@@ -140,9 +147,14 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
         elif use_super:
             u, v, w, uv, vv, wv = p2g_from_super(cfg, table, pos, vel)
         elif use_pallas:
-            from ..ops.pallas_p2g import p2g_from_table_pallas
+            from ..ops.pallas_p2g import p2g_fits_vmem, p2g_from_table_pallas
 
-            u, v, w, uv, vv, wv = p2g_from_table_pallas(cfg, table, pos, vel)
+            if p2g_fits_vmem(cfg, table.slots.shape[2]):
+                u, v, w, uv, vv, wv = p2g_from_table_pallas(
+                    cfg, table, pos, vel
+                )
+            else:
+                u, v, w, uv, vv, wv = p2g_from_table(cfg, table, pos, vel)
         else:
             u, v, w, uv, vv, wv = p2g_from_table(cfg, table, pos, vel)
     else:

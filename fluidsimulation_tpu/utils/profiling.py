@@ -167,9 +167,10 @@ def _p2g_stage(cfg, use_pallas, use_super, table, pos, vel):
 
         return supertable.p2g_from_super(cfg, table, pos, vel)
     if use_pallas:
-        from ..ops.pallas_p2g import p2g_from_table_pallas
+        from ..ops.pallas_p2g import p2g_fits_vmem, p2g_from_table_pallas
 
-        return p2g_from_table_pallas(cfg, table, pos, vel)
+        if p2g_fits_vmem(cfg, table.slots.shape[2]):
+            return p2g_from_table_pallas(cfg, table, pos, vel)
     from ..ops import celltable
 
     return celltable.p2g_from_table(cfg, table, pos, vel)

@@ -113,9 +113,17 @@ def build_prefixes(cfg, use_pallas):
             elif use_super:
                 u, v, w, uv, vv, wv = p2g_from_super(cfg, table, pos, state.vel)
             elif use_pallas:
-                from fluidsimulation_tpu.ops.pallas_p2g import p2g_from_table_pallas
+                from fluidsimulation_tpu.ops.pallas_p2g import (
+                    p2g_fits_vmem,
+                    p2g_from_table_pallas,
+                )
 
-                u, v, w, uv, vv, wv = p2g_from_table_pallas(cfg, table, pos, state.vel)
+                if p2g_fits_vmem(cfg, table.slots.shape[2]):
+                    u, v, w, uv, vv, wv = p2g_from_table_pallas(
+                        cfg, table, pos, state.vel
+                    )
+                else:
+                    u, v, w, uv, vv, wv = p2g_from_table(cfg, table, pos, state.vel)
             else:
                 u, v, w, uv, vv, wv = p2g_from_table(cfg, table, pos, state.vel)
             if k == 4:
