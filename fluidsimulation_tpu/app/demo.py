@@ -112,6 +112,11 @@ def main(argv=None):
     ap.add_argument("--profile", action="store_true", help="per-stage timing table each step")
     ap.add_argument("--ppc", type=int, default=2, help="particles per cell axis")
     ap.add_argument(
+        "--render-scale", type=int, default=1,
+        help="fast-preview mode: raytrace at 1/k resolution and upscale "
+        "(k=2 -> 4x fewer rays; exact reference image at k=1)",
+    )
+    ap.add_argument(
         "--two-d", action="store_true",
         help="run the 2D solver (FluidSim / FluidSimDemoOld equivalent), "
         "rendering particle splats over a checkerboard",
@@ -162,13 +167,18 @@ def main(argv=None):
 
         def draw(s):
             """DRAW stage (FluidSimDemo::DrawScene, timed like the
-            reference's DRAW profiler mark)."""
-            co, right, up, fwd = cam.frame(args.width, args.height)
-            img = render(
-                s.phi, co, right, up, fwd, args.width, args.height,
-                band_rows=64,
-            )
-            img_holder.append(np.asarray(img))
+            reference's DRAW profiler mark).  --render-scale k>1 traces at
+            reduced resolution and nearest-upscales: a documented preview
+            divergence (docs/PARITY.md), ~k^2 faster."""
+            k = max(1, args.render_scale)
+            w, h = args.width // k, args.height // k
+            co, right, up, fwd = cam.frame(w, h)
+            img = render(s.phi, co, right, up, fwd, w, h, band_rows=64)
+            out = np.asarray(img)
+            if k > 1:
+                out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)
+                out = out[: args.height, : args.width]
+            img_holder.append(out)
             return img
 
         if args.profile:
