@@ -16,10 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+# An explicit JAX_PLATFORMS='' means "use the real backend" (the documented
+# way to run tests/test_tpu_kernels.py on TPU); anything else forces CPU.
+if os.environ.get("JAX_PLATFORMS", "cpu") != "":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def pytest_configure(config):
