@@ -171,7 +171,9 @@ def main(argv=None):
             reduced resolution and nearest-upscales: a documented preview
             divergence (docs/PARITY.md), ~k^2 faster."""
             k = max(1, args.render_scale)
-            w, h = args.width // k, args.height // k
+            # Round the traced resolution UP so the upscaled image covers
+            # the requested size even when width/height % k != 0.
+            w, h = -(-args.width // k), -(-args.height // k)
             co, right, up, fwd = cam.frame(w, h)
             img = render(s.phi, co, right, up, fwd, w, h, band_rows=64)
             out = np.asarray(img)

@@ -188,10 +188,11 @@ def interp_mac3_packed_vec(pu, pv, pw, dims, pos_cells):
 # -- fat-row pair interpolation (two grid sets, one gather) ------------------
 
 def pack_mac3_pair(macA, macB):
-    """Build fat pair tables directly: per-component rows of 256 lanes,
-    lanes [0:128] = pack_mac3(macA)'s row, [128:256] = pack_mac3(macB)'s —
-    bit-identical to concatenating the two packs but materialized once
-    (one 8-way stack instead of two 4-way stacks plus a 250 MB concat)."""
+    """Build fat pair tables directly: per-component rows of 2*4*_L = 1024
+    lanes, lanes [0:4*_L] = pack_mac3(macA)'s 512 B row, [4*_L:8*_L] =
+    pack_mac3(macB)'s — bit-identical to concatenating the two packs but
+    materialized once (one 8-way stack instead of two 4-way stacks plus a
+    250 MB concat)."""
     uA, vA, wA = macA
     uB, vB, wB = macB
     nx = uA.shape[0] - 1
@@ -252,9 +253,10 @@ def _corner_mix2(zred2, fa, fb):
 def interp_mac3_packed_pair(pu2, pv2, pw2, dims, pi, pj, pk):
     """Interpolate TWO grid sets with ONE row gather per component.
 
-    pu2/pv2/pw2 are fat tables: per-component rows of 256 lanes, lanes
-    [0:128] = grid set A's pack_mac3 row, lanes [128:256] = grid set B's
-    (build with ``jnp.concatenate([packA, packB], axis=1)``).  Gather cost
+    pu2/pv2/pw2 are fat tables: per-component rows of 2*4*_L = 1024 lanes,
+    with halves at [0:4*_L] = grid set A's pack_mac3 row and [4*_L:8*_L] =
+    grid set B's (build with pack_mac3_pair, or equivalently
+    ``jnp.concatenate([packA, packB], axis=1)``).  Gather cost
     is per-transaction, so fetching 1 KB instead of 512 B is ~free; both
     interpolants come out of the same row.  Results are bit-identical to
     interp_mac3_packed on each set separately (same keys, same reduce

@@ -158,7 +158,9 @@ def _sweep_stage(cfg, use_pallas, phi, cpos):
 
 
 def _p2g_stage(cfg, use_pallas, use_super, table, pos, vel):
-    if use_super and use_pallas:
+    # Mirror step3d's exact routing (incl. the (ny // 2) % 8 kernel-tile
+    # guard) so the profiler times the kernel step() actually runs.
+    if use_super and use_pallas and (cfg.ny // 2) % 8 == 0:
         from ..ops.pallas_p2g_super import p2g_from_super_pallas
 
         return p2g_from_super_pallas(cfg, table, pos, vel)

@@ -88,3 +88,16 @@ def test_pallas_p2g_overflow_correction_units():
             np.asarray(got[i])[valid], np.asarray(want[i])[valid],
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_vmem_gate_classifies_measured_cases():
+    """The VMEM-fit gate must use padded, double-buffered block sizes
+    (ADVICE r2): 128^3 / K=12 fails the scoped-VMEM compile on real TPU and
+    must be classified UNFIT; 64^3 / K=12 and 128^3 / K=5 run natively."""
+    from fluidsimulation_tpu.core.config import SimConfig
+
+    c128 = SimConfig(nx=128, ny=128, nz=128)
+    c64 = SimConfig(nx=64, ny=64, nz=64)
+    assert not pp.p2g_fits_vmem(c128, 12)
+    assert pp.p2g_fits_vmem(c64, 12)
+    assert pp.p2g_fits_vmem(c128, 5)
