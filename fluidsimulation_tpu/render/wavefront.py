@@ -1,0 +1,375 @@
+"""Wavefront (global ray-pool) formulation of the exact renderer.
+
+Motivation (VERDICT r2 / docs/PERF.md): the tiled renderer's md() row
+gathers decay to 6-26k-row batches as tiles converge, a regime measured
+~2x slower per row than >=64k-row batches, and lanes that converged keep
+paying for gathers until their whole tile exits.  Here every ray that
+actually needs marching — across the whole frame and each bounce level's
+ray list — is fed through one fixed-size pool of P lanes: each pool step
+issues ONE md() gather of exactly P rows (the fast regime), finished
+lanes are evacuated and the pool is refilled from a compacted queue
+(``jnp.nonzero(size=...)``), and the march stops when the queue drains.
+
+Per-ray march semantics are the EXACT per-lane serial semantics of
+``raytrace.intersect_water`` (same fp ops in the same order per lane), so
+frames are bit-identical to the tiled/dense path; equality is tested in
+tests/test_wavefront.py.
+
+Reference anchors: Render.fx:358-424 (intersectWater, trip counts
+64 / 128 / 48), Render.fx:442-515 (bounce recursion), Render.fx:518-578
+(pixel shader main).
+
+Pool mechanics
+--------------
+A lane holds one ray and a phase:
+
+  EMPTY     no ray.
+  CLASSIFY  first probe: md(p0) decides outside/inside
+            (Render.fx:361-366; the serial code's ``initial`` probe and
+            the outside loop's first ``md(p)`` coincide at p0, so the
+            classify step already applies the first march update).
+  OUT       64-step sphere trace (Render.fx:369-381).
+  INS       128-step fixed 1-cell march (Render.fx:391-409).
+  BWD       backward sphere trace, budget 48 - i_exit (Render.fx:411-423,
+            the reference's reused loop counter quirk).
+  FIN       finished, result (t, t_p) awaiting evacuation.
+
+Every pool step costs exactly one md() row-gather of P rows regardless of
+phase mix.  A "round" = (conditional refill) + ``steps_per_round`` march
+steps.  Refill evacuates FIN lanes into a trace row and pulls the next
+queue entries in order (exclusive cumsum over free lanes), and is skipped
+(lax.cond) unless at least P/8 lanes are free — the queue-record gather
+is the round's main fixed cost.  Rays whose result is discarded upstream
+(glass-miss ``max_t >= LARGE``, zero-weight TIR children) never enter the
+queue; their dense defaults (t = t_p = 0) match the serial path's
+done-at-start lanes (TIR children always carry ``max_t ~ 1e11 >= LARGE``
+because their direction is the exact zero vector, so the ambiguity
+between the outside/inside defaults is vacuous — see tests).  One known
+twin divergence, unreachable from the product path: a ``dead`` lane whose
+box lies strictly BEHIND the ray (max_t < 0 < LARGE) returns t = 0 here,
+while the serial path returns min(0, max_t) = max_t if its classify probe
+says outside — classifying would cost a dense md() pass over every ray,
+and the lane's contribution is multiplied by exactly 0 upstream either
+way (tests/test_wavefront.py::test_intersect_water_pool_dead_mask pins
+this).
+
+The lane result is (t, t_p): t is the returned march distance and t_p the
+distance at which the returned *point* sits (they differ where the serial
+code advances t but freezes p: the inside exit step and the backward
+firing step).  The dense caller reconstructs p = p0 + t_p*ci — the same
+expression the serial code used to produce p, so bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import raytrace as rt
+
+# Lane phases.
+EMPTY, CLASSIFY, OUT, INS, BWD, FIN = -1, 0, 1, 2, 3, 4
+
+_DEF_POOL = 131072
+_DEF_SPR = 6  # march steps per round
+
+
+def _i2f(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _f2i(x):
+    return lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _lane_step(dt, st, inv_m0):
+    """Advance every pool lane by one march step given dt = md(p).
+
+    Replicates raytrace.intersect_water's per-lane updates exactly:
+    the same jnp expressions in the same order, selected per phase.
+    """
+    phase, p, t, t_p, i, aux, max_t, p0, ci, oidx = st
+
+    is_cls = phase == CLASSIFY
+    outside = (dt > 0.0) | (p0[:, 1] > 0.9999)
+    ph = jnp.where(is_cls, jnp.where(outside, OUT, INS), phase)
+
+    o = ph == OUT
+    ins = ph == INS
+    bwd = ph == BWD
+
+    # OUT candidate update (Render.fx:369-381 / raytrace.out_body).
+    t2o = t + dt
+    fire_o = (dt < 0.001) | (t2o >= max_t)
+    # INS candidate update (Render.fx:391-409 / raytrace.fwd_body).
+    t2i = t + inv_m0
+    exit_i = dt >= 0.0
+    box_i = (~exit_i) & (t2i >= max_t)
+    bud = jnp.maximum(48 - i, 0)  # 48 - i_exit backward budget
+    # BWD candidate update (Render.fx:411-423 / raytrace.bwd_body).
+    dtb = -dt
+    t2b = t + dtb
+    fire_b = dtb > -0.001
+
+    t_new = jnp.where(o, t2o, jnp.where(ins, t2i, jnp.where(bwd, t2b, t)))
+    adv_p = o | (ins & ~exit_i) | (bwd & ~fire_b)
+    p_new = jnp.where(adv_p[:, None], p0 + t_new[:, None] * ci, p)
+    tp_new = jnp.where(adv_p, t_new, t_p)
+    i_new = i + (o | ins).astype(i.dtype)
+    aux_new = jnp.where(ins & exit_i, bud, jnp.where(bwd, aux - 1, aux))
+
+    fin_o = o & (fire_o | (i_new >= 64))
+    fin_box = ins & box_i
+    fin_exit0 = ins & exit_i & (bud == 0)
+    fin_full = ins & ~exit_i & ~box_i & (i_new >= 128)
+    go_bwd = ins & exit_i & (bud > 0)
+    fin_b = bwd & (fire_b | (aux_new <= 0))
+    fin = fin_o | fin_box | fin_exit0 | fin_full | fin_b
+
+    # Result finalization: OUT lanes emit min(t, max_t) twice (the serial
+    # path clamps then recomputes p from the clamped t); boxed INS lanes
+    # emit (max_t, max_t) (serial box-exit override).
+    out_clamped = jnp.minimum(t_new, max_t)
+    t_fin = jnp.where(fin_o, out_clamped, jnp.where(fin_box, max_t, t_new))
+    tp_fin = jnp.where(fin_o, out_clamped, jnp.where(fin_box, max_t, tp_new))
+    t_new = jnp.where(fin, t_fin, t_new)
+    tp_new = jnp.where(fin, tp_fin, tp_new)
+
+    ph_new = jnp.where(fin, FIN, jnp.where(go_bwd, BWD, ph))
+    return (ph_new, p_new, t_new, tp_new, i_new, aux_new, max_t, p0, ci, oidx)
+
+
+def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
+    """Run the ray pool over the compacted queue ``rec_q`` (rows
+    [p0.xyz, ci.xyz, max_t, oidx_bits]); returns dense (t, t_p) of length
+    ``n_out`` (zeros for rays never enqueued)."""
+    P = pool
+    zf = jnp.zeros((P,), jnp.float32)
+    zi = jnp.zeros((P,), jnp.int32)
+    st0 = (
+        jnp.full((P,), EMPTY, jnp.int32),  # phase
+        jnp.zeros((P, 3), jnp.float32),    # p
+        zf, zf,                            # t, t_p
+        zi, zi,                            # i, aux
+        zf,                                # max_t
+        jnp.zeros((P, 3), jnp.float32),    # p0
+        jnp.zeros((P, 3), jnp.float32),    # ci
+        jnp.full((P,), -1, jnp.int32),     # oidx
+    )
+    trace0 = jnp.zeros((r_trace + 1, P, 4), jnp.float32)
+    thresh = max(1, P // 8)
+
+    def refill(carry):
+        cursor, rt_i, trace, st = carry
+        phase, p, t, t_p, i, aux, max_t, p0, ci, oidx = st
+        fin = phase == FIN
+        free = fin | (phase == EMPTY)
+        # Evacuate FIN lanes into the trace (oidx < 0 marks empty slots).
+        row = jnp.stack(
+            [_i2f(jnp.where(fin, oidx, -1)), t, t_p, jnp.zeros_like(t)],
+            axis=-1,
+        )
+        trace = lax.dynamic_update_index_in_dim(trace, row, rt_i, 0)
+        # Pull the next queue entries, in order, into the free lanes.
+        rank = jnp.cumsum(free.astype(jnp.int32)) - free
+        qnew = cursor + rank
+        take = free & (qnew < m_count)
+        newrec = rec_q[jnp.clip(qnew, 0, rec_q.shape[0] - 1)]
+        np0 = jnp.where(take[:, None], newrec[:, 0:3], p0)
+        nci = jnp.where(take[:, None], newrec[:, 3:6], ci)
+        nmax = jnp.where(take, newrec[:, 6], max_t)
+        noidx = jnp.where(take, _f2i(newrec[:, 7]),
+                          jnp.where(free, -1, oidx))
+        nphase = jnp.where(take, CLASSIFY, jnp.where(free, EMPTY, phase))
+        np_ = jnp.where(take[:, None], np0, p)
+        nt = jnp.where(take, 0.0, t)
+        ntp = jnp.where(take, 0.0, t_p)
+        ni = jnp.where(take, 0, i)
+        naux = jnp.where(take, 0, aux)
+        cursor = jnp.minimum(cursor + free.sum(), m_count)
+        st = (nphase, np_, nt, ntp, ni, naux, nmax, np0, nci, noidx)
+        return cursor, rt_i + 1, trace, st
+
+    def cond(c):
+        r, cursor, rt_i, trace, st = c
+        phase = st[0]
+        marching = jnp.any((phase >= CLASSIFY) & (phase < FIN))
+        return (r < 4096) & ((cursor < m_count) | marching)
+
+    def body(c):
+        r, cursor, rt_i, trace, st = c
+        free_n = ((st[0] == FIN) | (st[0] == EMPTY)).sum()
+        want = (cursor < m_count) & (free_n >= thresh) & (rt_i < r_trace)
+        cursor, rt_i, trace, st = lax.cond(
+            want, refill, lambda x: x, (cursor, rt_i, trace, st)
+        )
+        for _ in range(spr):
+            dt = md(st[1])
+            st = _lane_step(dt, st, inv_m0)
+        return r + 1, cursor, rt_i, trace, st
+
+    r, cursor, rt_i, trace, st = lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), trace0, st0)
+    )
+    # Final evacuation of lanes still FIN when the queue drained.
+    phase, _, t, t_p, _, _, _, _, _, oidx = st
+    fin = phase == FIN
+    row = jnp.stack(
+        [_i2f(jnp.where(fin, oidx, -1)), t, t_p, jnp.zeros_like(t)], axis=-1
+    )
+    trace = lax.dynamic_update_index_in_dim(
+        trace, row, jnp.minimum(rt_i, r_trace), 0
+    )
+
+    # Writeback: compact the evacuation records, scatter to dense.
+    flat = trace.reshape(-1, 4)
+    keys = _f2i(flat[:, 0])
+    sel = jnp.nonzero(keys >= 0, size=n_out, fill_value=0)[0]
+    rows = flat[sel]
+    ridx = _f2i(rows[:, 0])
+    idx = jnp.where(ridx >= 0, ridx, n_out)  # invalid -> dump slot
+    out_t = jnp.zeros((n_out + 1,), jnp.float32).at[idx].set(
+        rows[:, 1], mode="drop"
+    )[:n_out]
+    out_tp = jnp.zeros((n_out + 1,), jnp.float32).at[idx].set(
+        rows[:, 2], mode="drop"
+    )[:n_out]
+    return out_t, out_tp
+
+
+def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
+                       pool=_DEF_POOL, spr=_DEF_SPR):
+    """Pool-marched twin of raytrace.intersect_water: same (p, t), bitwise.
+
+    ``co/ci/max_t`` may have any leading shape; flattened internally.
+    """
+    shape = max_t.shape
+    co_f = co.reshape(-1, 3)
+    ci_f = ci.reshape(-1, 3)
+    mt_f = max_t.reshape(-1)
+    n = mt_f.shape[0]
+    p0 = co_f + 0.5
+
+    junk = mt_f >= rt.LARGE
+    if dead is not None:
+        junk = junk | dead.reshape(-1)
+    needs = ~junk
+
+    oidx_f = _i2f(jnp.arange(n, dtype=jnp.int32))
+    rec = jnp.stack(
+        [p0[:, 0], p0[:, 1], p0[:, 2], ci_f[:, 0], ci_f[:, 1], ci_f[:, 2],
+         mt_f, oidx_f],
+        axis=-1,
+    )
+    qidx = jnp.nonzero(needs, size=n, fill_value=0)[0]
+    rec_q = rec[qidx]
+    m_count = needs.sum()
+
+    P = min(pool, max(256, -(-n // 8) * 8))
+    # Trace rows bound: each gated refill consumes >= P/8 queue entries
+    # (except the last), plus the initial and final evacuation rows.
+    r_trace = 8 * (-(-n // P)) + 4
+
+    t, t_p = _march_pool(md, rec_q, m_count, n, inv_m0, P, spr, r_trace)
+    p = p0 + t_p[:, None] * ci_f
+    return p.reshape(*shape, 3), t.reshape(shape)
+
+
+# -- bounce-level orchestration (wavefront twins of raytrace's) --------------
+
+def _expand_bounce_wf(md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
+                      spr=_DEF_SPR):
+    """Wavefront twin of raytrace._expand_bounce (identical dense math, the
+    march routed through the pool)."""
+    co = co + 0.001 * ci
+    half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
+    _, max_t, _, _ = rt.intersect_aabb(co, ci, -half, half)
+    dead = None if w is None else (w <= 0.0)
+    p_hit, t_hit = intersect_water_wf(
+        md, inv_m0, co, ci, max_t, dead=dead, pool=pool, spr=spr
+    )
+    ipoint = p_hit - 0.5
+    missed = (t_hit >= max_t) | (max_t >= rt.LARGE)
+
+    norm = rt._norm(rt.compute_gradient(md, p_hit), eps=1e-20)
+    from_inside = rt._dot(norm, ci) > 0.0
+    n1 = jnp.where(from_inside, 1.333, 1.000)
+    n2 = jnp.where(from_inside, 1.000, 1.333)
+    norm = jnp.where(from_inside[..., None], -norm, norm)
+    fres, refl, trans = rt.fresnel_tr(ci, norm, n1, n2)
+
+    d_a = jnp.where(missed[..., None], ci, refl)
+    w_a = jnp.where(missed, 1.0, fres)
+    d_b = jnp.where(missed[..., None], ci, trans)
+    w_b = jnp.where(missed, 0.0, 1.0 - fres)
+    return ipoint, d_a, w_a, d_b, w_b
+
+
+def trace_water2_wf(md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
+    """Wavefront twin of raytrace.trace_water2."""
+    shape = co.shape
+
+    ip1, d_a, w_a, d_b, w_b = _expand_bounce_wf(
+        md, inv_m0, co, ci, pool=pool, spr=spr
+    )
+    co2 = jnp.concatenate([ip1, ip1], axis=0)
+    d2 = jnp.concatenate([d_a, d_b], axis=0)
+    w2 = jnp.concatenate([w_a, w_b], axis=0)
+
+    ip2, d_c, w_c, d_d, w_d = _expand_bounce_wf(
+        md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr
+    )
+    co3 = jnp.concatenate([ip2, ip2], axis=0)
+    d3 = jnp.concatenate([d_c, d_d], axis=0)
+    w3 = jnp.concatenate([w2 * w_c, w2 * w_d], axis=0)
+
+    cols = rt.trace_water0(co3, d3)
+    cols = cols.reshape(4, *shape)
+    w3 = w3.reshape(4, *shape[:-1])
+    return (cols * w3[..., None]).sum(axis=0)
+
+
+def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
+    """Wavefront twin of raytrace.shade (PS main, Render.fx:518-578)."""
+    tex = phi if isinstance(phi, rt.PackedPhi) else rt.PackedPhi(phi)
+    md = lambda p: rt.map_dist_packed(tex, p)
+    inv_m0 = 1.0 / jnp.float32(tex.dims[0])
+    shape = ci.shape
+    co_f = jnp.broadcast_to(co, shape).reshape(-1, 3)
+    ci_f = ci.reshape(-1, 3)
+    h, prim_co, prim_ci, _, _ = rt.trace_glass(co_f, ci_f)
+    hit = h < rt.LARGE
+    col_water = trace_water2_wf(
+        md, inv_m0, prim_co, prim_ci, pool=pool, spr=spr
+    )
+    col_sky = rt.sample_environment(ci_f)
+    col = jnp.where(hit[..., None], col_water, col_sky)
+    out = jnp.abs(col) ** 2.2
+    return jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0).reshape(shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "pool", "spr")
+)
+def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
+               width: int, height: int, pool: int, spr: int):
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    fx, fy = jnp.meshgrid(px, py, indexing="xy")
+    u = -1.0 + 2.0 * fx
+    v = 1.0 - 2.0 * fy
+    ci = rt._norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
+    co = jnp.broadcast_to(cam_pos, ci.shape)
+    return shade_wf(tex, co, ci, pool=pool, spr=spr)
+
+
+def render_wavefront(phi, cam_pos, cam_right, cam_up, cam_fwd,
+                     width: int, height: int,
+                     pool: int = _DEF_POOL, spr: int = _DEF_SPR):
+    """Whole-frame wavefront render; bit-identical to raytrace.render."""
+    tex = phi if isinstance(phi, rt.PackedPhi) else rt.PackedPhi(phi)
+    return _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
+                      width, height, pool, spr)
