@@ -77,12 +77,12 @@ _DEF_POOL = 131072
 _DEF_SPR = 6  # march steps per round
 
 
-def _i2f(x):
-    return lax.bitcast_convert_type(x, jnp.float32)
-
-
-def _f2i(x):
-    return lax.bitcast_convert_type(x, jnp.int32)
+# Trace rows encode the ray index as the float VALUE oidx+1 (exact for
+# indices < 2^24), NOT a bitcast: TPU float paths canonicalize NaN bit
+# patterns (an int -1 bitcast is 0xFFFFFFFF = NaN), which corrupted
+# bitcast-encoded keys on the real backend.  0.0 marks an invalid record,
+# so never-written all-zero trace rows are invalid by construction.
+_MAX_RAYS = 1 << 24
 
 
 def _lane_step(dt, st, inv_m0):
@@ -167,11 +167,9 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
         phase, p, t, t_p, i, aux, max_t, p0, ci, oidx = st
         fin = phase == FIN
         free = fin | (phase == EMPTY)
-        # Evacuate FIN lanes into the trace (oidx < 0 marks empty slots).
-        row = jnp.stack(
-            [_i2f(jnp.where(fin, oidx, -1)), t, t_p, jnp.zeros_like(t)],
-            axis=-1,
-        )
+        # Evacuate FIN lanes into the trace (key 0.0 marks empty slots).
+        key = jnp.where(fin, oidx + 1, 0).astype(jnp.float32)
+        row = jnp.stack([key, t, t_p, jnp.zeros_like(t)], axis=-1)
         trace = lax.dynamic_update_index_in_dim(trace, row, rt_i, 0)
         # Pull the next queue entries, in order, into the free lanes.
         rank = jnp.cumsum(free.astype(jnp.int32)) - free
@@ -181,7 +179,7 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
         np0 = jnp.where(take[:, None], newrec[:, 0:3], p0)
         nci = jnp.where(take[:, None], newrec[:, 3:6], ci)
         nmax = jnp.where(take, newrec[:, 6], max_t)
-        noidx = jnp.where(take, _f2i(newrec[:, 7]),
+        noidx = jnp.where(take, newrec[:, 7].astype(jnp.int32),
                           jnp.where(free, -1, oidx))
         nphase = jnp.where(take, CLASSIFY, jnp.where(free, EMPTY, phase))
         np_ = jnp.where(take[:, None], np0, p)
@@ -217,19 +215,17 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
     # Final evacuation of lanes still FIN when the queue drained.
     phase, _, t, t_p, _, _, _, _, _, oidx = st
     fin = phase == FIN
-    row = jnp.stack(
-        [_i2f(jnp.where(fin, oidx, -1)), t, t_p, jnp.zeros_like(t)], axis=-1
-    )
+    key = jnp.where(fin, oidx + 1, 0).astype(jnp.float32)
+    row = jnp.stack([key, t, t_p, jnp.zeros_like(t)], axis=-1)
     trace = lax.dynamic_update_index_in_dim(
         trace, row, jnp.minimum(rt_i, r_trace), 0
     )
 
     # Writeback: compact the evacuation records, scatter to dense.
     flat = trace.reshape(-1, 4)
-    keys = _f2i(flat[:, 0])
-    sel = jnp.nonzero(keys >= 0, size=n_out, fill_value=0)[0]
+    sel = jnp.nonzero(flat[:, 0] > 0.0, size=n_out, fill_value=0)[0]
     rows = flat[sel]
-    ridx = _f2i(rows[:, 0])
+    ridx = rows[:, 0].astype(jnp.int32) - 1
     idx = jnp.where(ridx >= 0, ridx, n_out)  # invalid -> dump slot
     out_t = jnp.zeros((n_out + 1,), jnp.float32).at[idx].set(
         rows[:, 1], mode="drop"
@@ -237,14 +233,19 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
     out_tp = jnp.zeros((n_out + 1,), jnp.float32).at[idx].set(
         rows[:, 2], mode="drop"
     )[:n_out]
-    return out_t, out_tp
+    stats = {"rounds": r, "refills": rt_i, "consumed": cursor,
+             "queued": m_count}
+    return out_t, out_tp, stats
 
 
 def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
-                       pool=_DEF_POOL, spr=_DEF_SPR):
-    """Pool-marched twin of raytrace.intersect_water: same (p, t), bitwise.
+                       pool=_DEF_POOL, spr=_DEF_SPR, with_stats=False):
+    """Pool-marched twin of raytrace.intersect_water: same (p, t) up to
+    program-level fp-contraction drift (see module docstring).
 
     ``co/ci/max_t`` may have any leading shape; flattened internally.
+    ``with_stats`` additionally returns the pool's (rounds, refills,
+    consumed, queued) scalars for perf diagnosis.
     """
     shape = max_t.shape
     co_f = co.reshape(-1, 3)
@@ -258,7 +259,8 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
         junk = junk | dead.reshape(-1)
     needs = ~junk
 
-    oidx_f = _i2f(jnp.arange(n, dtype=jnp.int32))
+    assert n < _MAX_RAYS, "ray index must stay exact as a float value"
+    oidx_f = jnp.arange(n, dtype=jnp.float32)
     rec = jnp.stack(
         [p0[:, 0], p0[:, 1], p0[:, 2], ci_f[:, 0], ci_f[:, 1], ci_f[:, 2],
          mt_f, oidx_f],
@@ -273,8 +275,11 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
     # (except the last), plus the initial and final evacuation rows.
     r_trace = 8 * (-(-n // P)) + 4
 
-    t, t_p = _march_pool(md, rec_q, m_count, n, inv_m0, P, spr, r_trace)
+    t, t_p, stats = _march_pool(md, rec_q, m_count, n, inv_m0, P, spr,
+                                r_trace)
     p = p0 + t_p[:, None] * ci_f
+    if with_stats:
+        return p.reshape(*shape, 3), t.reshape(shape), stats
     return p.reshape(*shape, 3), t.reshape(shape)
 
 
