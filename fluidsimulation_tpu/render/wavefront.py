@@ -85,11 +85,19 @@ _DEF_SPR = 6  # march steps per round
 _MAX_RAYS = 1 << 24
 
 
-def _lane_step(dt, st, inv_m0):
+def _lane_step(dt, st, inv_m0, d8=None, margin=None):
     """Advance every pool lane by one march step given dt = md(p).
 
     Replicates raytrace.intersect_water's per-lane updates exactly:
     the same jnp expressions in the same order, selected per phase.
+
+    ``d8``/``margin``: interior L1 distance at the probe's cell and the
+    skip safety margin (render/interior.py).  An INS lane that keeps
+    marching jumps floor((d8 - margin)/sqrt(3)) extra lattice steps —
+    all provably non-exit, non-box probe points, so the lane visits the
+    same decision sequence as the serial loop.  margin is TRACED: the
+    same compiled program with margin=+big is the no-skip march, which
+    is how bit-equality of the skip is asserted (tests/test_interior.py).
     """
     phase, p, t, t_p, i, aux, max_t, p0, ci, oidx = st
 
@@ -138,11 +146,29 @@ def _lane_step(dt, st, inv_m0):
     t_new = jnp.where(fin, t_fin, t_new)
     tp_new = jnp.where(fin, tp_fin, tp_new)
 
+    if d8 is not None:
+        # Interior skip (render/interior.py): INS lanes that keep
+        # marching jump k provably-interior lattice steps at once.
+        cont = ins & ~exit_i & ~box_i & (i_new < 128)
+        k = jnp.floor((d8 - margin) * jnp.float32(0.57735026)).astype(
+            jnp.int32
+        )
+        k = jnp.minimum(k, 127 - i_new)
+        k_box = jnp.floor((max_t - t_new) / inv_m0).astype(jnp.int32) - 2
+        k = jnp.maximum(jnp.minimum(k, k_box), 0)
+        k = jnp.where(cont, k, 0)
+        t_new = t_new + k.astype(jnp.float32) * inv_m0
+        i_new = i_new + k
+        skipped = k > 0
+        p_new = jnp.where(skipped[:, None], p0 + t_new[:, None] * ci, p_new)
+        tp_new = jnp.where(skipped, t_new, tp_new)
+
     ph_new = jnp.where(fin, FIN, jnp.where(go_bwd, BWD, ph))
     return (ph_new, p_new, t_new, tp_new, i_new, aux_new, max_t, p0, ci, oidx)
 
 
-def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
+def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace,
+                probe2=None, margin=None):
     """Run the ray pool over the compacted queue ``rec_q`` (rows
     [p0.xyz, ci.xyz, max_t, oidx_bits]); returns dense (t, t_p) of length
     ``n_out`` (zeros for rays never enqueued)."""
@@ -205,8 +231,11 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
             want, refill, lambda x: x, (cursor, rt_i, trace, st)
         )
         for _ in range(spr):
-            dt = md(st[1])
-            st = _lane_step(dt, st, inv_m0)
+            if probe2 is None:
+                st = _lane_step(md(st[1]), st, inv_m0)
+            else:
+                dt, d8 = probe2(st[1])
+                st = _lane_step(dt, st, inv_m0, d8=d8, margin=margin)
         return r + 1, cursor, rt_i, trace, st
 
     r, cursor, rt_i, trace, st = lax.while_loop(
@@ -239,7 +268,8 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace):
 
 
 def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
-                       pool=_DEF_POOL, spr=_DEF_SPR, with_stats=False):
+                       pool=_DEF_POOL, spr=_DEF_SPR, with_stats=False,
+                       probe2=None, margin=None):
     """Pool-marched twin of raytrace.intersect_water: same (p, t) up to
     program-level fp-contraction drift (see module docstring).
 
@@ -276,7 +306,7 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
     r_trace = 8 * (-(-n // P)) + 4
 
     t, t_p, stats = _march_pool(md, rec_q, m_count, n, inv_m0, P, spr,
-                                r_trace)
+                                r_trace, probe2=probe2, margin=margin)
     p = p0 + t_p[:, None] * ci_f
     if with_stats:
         return p.reshape(*shape, 3), t.reshape(shape), stats
@@ -286,7 +316,7 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
 # -- bounce-level orchestration (wavefront twins of raytrace's) --------------
 
 def _expand_bounce_wf(md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
-                      spr=_DEF_SPR):
+                      spr=_DEF_SPR, probe2=None, margin=None):
     """Wavefront twin of raytrace._expand_bounce (identical dense math, the
     march routed through the pool)."""
     co = co + 0.001 * ci
@@ -294,7 +324,8 @@ def _expand_bounce_wf(md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
     _, max_t, _, _ = rt.intersect_aabb(co, ci, -half, half)
     dead = None if w is None else (w <= 0.0)
     p_hit, t_hit = intersect_water_wf(
-        md, inv_m0, co, ci, max_t, dead=dead, pool=pool, spr=spr
+        md, inv_m0, co, ci, max_t, dead=dead, pool=pool, spr=spr,
+        probe2=probe2, margin=margin,
     )
     ipoint = p_hit - 0.5
     missed = (t_hit >= max_t) | (max_t >= rt.LARGE)
@@ -313,19 +344,21 @@ def _expand_bounce_wf(md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
     return ipoint, d_a, w_a, d_b, w_b
 
 
-def trace_water2_wf(md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
+def trace_water2_wf(md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR,
+                    probe2=None, margin=None):
     """Wavefront twin of raytrace.trace_water2."""
     shape = co.shape
 
     ip1, d_a, w_a, d_b, w_b = _expand_bounce_wf(
-        md, inv_m0, co, ci, pool=pool, spr=spr
+        md, inv_m0, co, ci, pool=pool, spr=spr, probe2=probe2, margin=margin
     )
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
     ip2, d_c, w_c, d_d, w_d = _expand_bounce_wf(
-        md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr
+        md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr, probe2=probe2,
+        margin=margin
     )
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
@@ -338,9 +371,24 @@ def trace_water2_wf(md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
 
 
 def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
-    """Wavefront twin of raytrace.shade (PS main, Render.fx:518-578)."""
-    tex = phi if isinstance(phi, rt.PackedPhi) else rt.PackedPhi(phi)
-    md = lambda p: rt.map_dist_packed(tex, p)
+    """Wavefront twin of raytrace.shade (PS main, Render.fx:518-578).
+
+    A PackedPhiSkip texture (render/interior.py) additionally enables the
+    inside-march interior skip, bit-identical on power-of-two grids."""
+    from . import interior as intr
+
+    probe2 = margin = None
+    if isinstance(phi, intr.PackedPhiSkip):
+        tex = phi
+        probe2 = lambda p: intr.probe_skip(tex, p)
+        margin = jnp.float32(intr._SKIP_MARGIN)
+        md = lambda p: probe2(p)[0]
+    elif isinstance(phi, rt.PackedPhi):
+        tex = phi
+        md = lambda p: rt.map_dist_packed(tex, p)
+    else:
+        tex = rt.PackedPhi(phi)
+        md = lambda p: rt.map_dist_packed(tex, p)
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     shape = ci.shape
     co_f = jnp.broadcast_to(co, shape).reshape(-1, 3)
@@ -348,7 +396,8 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
     h, prim_co, prim_ci, _, _ = rt.trace_glass(co_f, ci_f)
     hit = h < rt.LARGE
     col_water = trace_water2_wf(
-        md, inv_m0, prim_co, prim_ci, pool=pool, spr=spr
+        md, inv_m0, prim_co, prim_ci, pool=pool, spr=spr, probe2=probe2,
+        margin=margin,
     )
     col_sky = rt.sample_environment(ci_f)
     col = jnp.where(hit[..., None], col_water, col_sky)
@@ -373,8 +422,21 @@ def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
 
 def render_wavefront(phi, cam_pos, cam_right, cam_up, cam_fwd,
                      width: int, height: int,
-                     pool: int = _DEF_POOL, spr: int = _DEF_SPR):
-    """Whole-frame wavefront render; bit-identical to raytrace.render."""
-    tex = phi if isinstance(phi, rt.PackedPhi) else rt.PackedPhi(phi)
+                     pool: int = _DEF_POOL, spr: int = _DEF_SPR,
+                     skip: bool = True):
+    """Whole-frame wavefront render (the exact reference image — same
+    per-lane march decisions as raytrace.render, to fp-contraction drift).
+
+    ``skip=True`` builds the PackedPhiSkip texture when the grid is
+    power-of-two, enabling the provably-exact inside-march interior skip
+    (render/interior.py)."""
+    from . import interior as intr
+
+    if isinstance(phi, (rt.PackedPhi, intr.PackedPhiSkip)):
+        tex = phi
+    else:
+        pow2 = all((d & (d - 1)) == 0 for d in phi.shape)
+        tex = (intr.PackedPhiSkip(phi) if skip and pow2
+               else rt.PackedPhi(phi))
     return _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
                       width, height, pool, spr)
