@@ -40,8 +40,9 @@ steps.  Refill evacuates FIN lanes into a trace row and pulls the next
 queue entries in order (exclusive cumsum over free lanes), and is skipped
 (lax.cond) unless at least P/8 lanes are free — the queue-record gather
 is the round's main fixed cost.  Rays whose result is discarded upstream
-(glass-miss ``max_t >= LARGE``, zero-weight TIR children) never enter the
-queue; their dense defaults (t = t_p = 0) match the serial path's
+(glass-miss ``max_t >= LARGE``, zero-weight TIR children) ride the queue
+with a negative ray key and finish in one pool step (phase JUNKED) with
+the dense default t = t_p = 0, which matches the serial path's
 done-at-start lanes (TIR children always carry ``max_t ~ 1e11 >= LARGE``
 because their direction is the exact zero vector, so the ambiguity
 between the outside/inside defaults is vacuous — see tests).  One known
@@ -70,8 +71,13 @@ from jax import lax
 
 from . import raytrace as rt
 
-# Lane phases.
-EMPTY, CLASSIFY, OUT, INS, BWD, FIN = -1, 0, 1, 2, 3, 4
+# Lane phases.  JUNKED lanes (rays whose result is discarded upstream)
+# finish on their first step with the dense-default (t = t_p = 0) — they
+# ride the queue instead of being nonzero-compacted away, because the
+# compaction (a (N,8) record gather behind a jnp.nonzero) measured
+# 35-140 ms at 480k rays depending on fusion/layout luck, while a junk
+# lane costs ONE pool step (scripts/diag_pool_ab3.py).
+EMPTY, CLASSIFY, OUT, INS, BWD, JUNKED, FIN = -1, 0, 1, 2, 3, 4, 5
 
 _DEF_POOL = 131072
 _DEF_SPR = 6  # march steps per round
@@ -104,6 +110,7 @@ def _lane_step(dt, st, inv_m0, d8=None, margin=None):
     is_cls = phase == CLASSIFY
     outside = (dt > 0.0) | (p0[:, 1] > 0.9999)
     ph = jnp.where(is_cls, jnp.where(outside, OUT, INS), phase)
+    junked = phase == JUNKED
 
     o = ph == OUT
     ins = ph == INS
@@ -135,7 +142,7 @@ def _lane_step(dt, st, inv_m0, d8=None, margin=None):
     fin_full = ins & ~exit_i & ~box_i & (i_new >= 128)
     go_bwd = ins & exit_i & (bud > 0)
     fin_b = bwd & (fire_b | (aux_new <= 0))
-    fin = fin_o | fin_box | fin_exit0 | fin_full | fin_b
+    fin = fin_o | fin_box | fin_exit0 | fin_full | fin_b | junked
 
     # Result finalization: OUT lanes emit min(t, max_t) twice (the serial
     # path clamps then recomputes p from the clamped t); boxed INS lanes
@@ -143,6 +150,8 @@ def _lane_step(dt, st, inv_m0, d8=None, margin=None):
     out_clamped = jnp.minimum(t_new, max_t)
     t_fin = jnp.where(fin_o, out_clamped, jnp.where(fin_box, max_t, t_new))
     tp_fin = jnp.where(fin_o, out_clamped, jnp.where(fin_box, max_t, tp_new))
+    t_fin = jnp.where(junked, 0.0, t_fin)
+    tp_fin = jnp.where(junked, 0.0, tp_fin)
     t_new = jnp.where(fin, t_fin, t_new)
     tp_new = jnp.where(fin, tp_fin, tp_new)
 
@@ -205,9 +214,13 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace,
         np0 = jnp.where(take[:, None], newrec[:, 0:3], p0)
         nci = jnp.where(take[:, None], newrec[:, 3:6], ci)
         nmax = jnp.where(take, newrec[:, 6], max_t)
-        noidx = jnp.where(take, newrec[:, 7].astype(jnp.int32),
+        # lane 7 is the SIGNED ray key: +(oidx+1) marchable, -(oidx+1)
+        # junk (result discarded upstream; finishes in one step).
+        key7 = newrec[:, 7].astype(jnp.int32)
+        noidx = jnp.where(take, jnp.abs(key7) - 1,
                           jnp.where(free, -1, oidx))
-        nphase = jnp.where(take, CLASSIFY, jnp.where(free, EMPTY, phase))
+        nphase = jnp.where(take, jnp.where(key7 < 0, JUNKED, CLASSIFY),
+                           jnp.where(free, EMPTY, phase))
         np_ = jnp.where(take[:, None], np0, p)
         nt = jnp.where(take, 0.0, t)
         ntp = jnp.where(take, 0.0, t_p)
@@ -287,25 +300,24 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
     junk = mt_f >= rt.LARGE
     if dead is not None:
         junk = junk | dead.reshape(-1)
-    needs = ~junk
 
     assert n < _MAX_RAYS, "ray index must stay exact as a float value"
-    oidx_f = jnp.arange(n, dtype=jnp.float32)
-    rec = jnp.stack(
+    # Signed ray key in lane 7: junk rays ride the queue (no compaction —
+    # see the JUNKED phase note) and finish in one pool step.
+    key7 = jnp.where(junk, -(jnp.arange(n, dtype=jnp.float32) + 1.0),
+                     jnp.arange(n, dtype=jnp.float32) + 1.0)
+    rec_q = jnp.stack(
         [p0[:, 0], p0[:, 1], p0[:, 2], ci_f[:, 0], ci_f[:, 1], ci_f[:, 2],
-         mt_f, oidx_f],
+         mt_f, key7],
         axis=-1,
     )
-    qidx = jnp.nonzero(needs, size=n, fill_value=0)[0]
-    rec_q = rec[qidx]
-    m_count = needs.sum()
 
     P = min(pool, max(256, -(-n // 8) * 8))
     # Trace rows bound: each gated refill consumes >= P/8 queue entries
     # (except the last), plus the initial and final evacuation rows.
     r_trace = 8 * (-(-n // P)) + 4
 
-    t, t_p, stats = _march_pool(md, rec_q, m_count, n, inv_m0, P, spr,
+    t, t_p, stats = _march_pool(md, rec_q, jnp.int32(n), n, inv_m0, P, spr,
                                 r_trace, probe2=probe2, margin=margin)
     p = p0 + t_p[:, None] * ci_f
     if with_stats:
@@ -406,10 +418,15 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "pool", "spr")
+    jax.jit, static_argnames=("width", "height", "pool", "spr", "build")
 )
 def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
-               width: int, height: int, pool: int, spr: int):
+               width: int, height: int, pool: int, spr: int,
+               build: str = "none"):
+    if build != "none":  # tex is the raw phi; pack it inside the program
+        from . import interior as intr
+
+        tex = intr.PackedPhiSkip(tex) if build == "skip" else rt.PackedPhi(tex)
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
     fx, fy = jnp.meshgrid(px, py, indexing="xy")
@@ -433,10 +450,9 @@ def render_wavefront(phi, cam_pos, cam_right, cam_up, cam_fwd,
     from . import interior as intr
 
     if isinstance(phi, (rt.PackedPhi, intr.PackedPhiSkip)):
-        tex = phi
-    else:
-        pow2 = all((d & (d - 1)) == 0 for d in phi.shape)
-        tex = (intr.PackedPhiSkip(phi) if skip and pow2
-               else rt.PackedPhi(phi))
-    return _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
-                      width, height, pool, spr)
+        return _render_wf(phi, cam_pos, cam_right, cam_up, cam_fwd,
+                          width, height, pool, spr)
+    pow2 = all((d & (d - 1)) == 0 for d in phi.shape)
+    build = "skip" if (skip and pow2) else "plain"
+    return _render_wf(phi, cam_pos, cam_right, cam_up, cam_fwd,
+                      width, height, pool, spr, build=build)

@@ -65,20 +65,21 @@ def main():
 
     for pool in pools:
         for spr in sprs:
-            try:
-                t_wf, img = timeit(
-                    lambda: render_wavefront(
-                        tex, co, right, up, fwd, 800, 600,
-                        pool=pool, spr=spr)
-                )
-            except Exception as e:  # noqa: BLE001
-                print(f"wavefront P={pool:6d} C={spr}: FAILED {e}",
-                      flush=True)
-                continue
-            d = float(jnp.abs(img - img_ref).mean())
-            print(f"wavefront P={pool:6d} C={spr}: {t_wf*1e3:8.1f} ms/frame "
-                  f"(mean|diff| {d:.2e}, mean px {float(jnp.mean(img)):.4f})",
-                  flush=True)
+            for skip in (False, True):
+                try:
+                    t_wf, img = timeit(
+                        lambda: render_wavefront(
+                            state.phi, co, right, up, fwd, 800, 600,
+                            pool=pool, spr=spr, skip=skip)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"wavefront P={pool:6d} C={spr} skip={int(skip)}:"
+                          f" FAILED {e}", flush=True)
+                    continue
+                d = float(jnp.abs(img - img_ref).mean())
+                print(f"wavefront P={pool:6d} C={spr} skip={int(skip)}: "
+                      f"{t_wf*1e3:8.1f} ms/frame (mean|diff| {d:.2e}, "
+                      f"mean px {float(jnp.mean(img)):.4f})", flush=True)
     assert np.isfinite(np.asarray(img)).all()
 
 
