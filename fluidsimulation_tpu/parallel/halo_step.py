@@ -14,7 +14,12 @@ step): here every collective is explicit and countable — per step:
     ~100x (documented scaling limit).
   * 2 all-gathers of the three MAC grids (pre-step for advection, the
     FLIP diff grids at the end) — grids are small (3 x 8 MB at 128^3);
-    interpolation then needs no halo logic at all.
+    interpolation then needs no halo logic at all.  The packed-table
+    BUILD on top of them is sharded 1/D (``_pack_mac3_sharded``): each
+    shard packs one row chunk and the tables are all-gathered tiled
+    (2 x 3 more all-gathers, ~2x grid bytes each) — per-shard pack work
+    scales down with the mesh instead of every shard packing the full
+    domain (VERDICT r2 item 6).
   * 1-plane ppermute halo exchanges for the stencil stages: extrapolate
     (8 arrays), RHS (1), diag (1), SOR (1 mask + 1 per half-iteration inside
     parallel/halo.py's _sor_local), apply-pressure (2), blur (1).
@@ -51,7 +56,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..core.config import SimConfig
-from ..core.interp_packed import interp_mac3_packed_vec, pack_mac3
+from ..core.interp_packed import _L, _segments, interp_mac3_packed_vec
 from ..core.state import SimState
 from ..ops import celltable as ct
 from ..ops.extrapolate import extrapolate_one_ring
@@ -241,6 +246,60 @@ def _apply_pressure_local(cfg: SimConfig, u, v, w, p_e, phi_e, dt, slabx):
     return u, v, w
 
 
+def _pack_mac3_sharded(uf, vf, wf, dims, me, n_dev):
+    """Shard-parallel pack_mac3: each shard builds a 1/D row chunk of the
+    packed tables from the (already gathered) full MAC grids, and the
+    chunks are all-gathered tiled.  Row order is the tables' major key
+    (x for U/V, y for W), so the tiled concat reproduces pack_mac3's row
+    indexing exactly; V/W gain one appended DEAD row group (x = nx-1 /
+    y = ny-1, zeros) so the (nx-1)/(ny-1) major ranges split evenly — the
+    interp keys never address them.
+
+    This is VERDICT r2 item 6: per-shard pack WORK (the 4-corner stack +
+    reshape, the pack's dominant cost) now scales 1/D instead of every
+    shard packing the full domain; the traded cost is one table
+    all-gather (~3x2x grid bytes on ICI).
+    """
+    nx, ny, nz = dims
+    sx = nx // n_dev
+    sy = ny // n_dev
+    x0 = me * sx
+    y0 = me * sy
+
+    su = _segments(uf)  # (nx+1, ny, ns, L)
+    a = jax.lax.dynamic_slice_in_dim(su, x0, sx + 1, 0)
+    cu = jnp.stack(
+        [a[0:sx, 0: ny - 1], a[0:sx, 1:ny],
+         a[1: sx + 1, 0: ny - 1], a[1: sx + 1, 1:ny]],
+        axis=3,
+    )
+    cu = cu.reshape(sx * (ny - 1) * cu.shape[2], 4 * _L)
+    pu = jax.lax.all_gather(cu, AXIS, axis=0, tiled=True)
+
+    sv = _segments(vf)  # (nx, ny+1, ns, L)
+    svp = jnp.pad(sv, ((0, 1), (0, 0), (0, 0), (0, 0)))
+    a = jax.lax.dynamic_slice_in_dim(svp, x0, sx + 1, 0)
+    cv = jnp.stack(
+        [a[0:sx, 0:ny], a[0:sx, 1: ny + 1],
+         a[1: sx + 1, 0:ny], a[1: sx + 1, 1: ny + 1]],
+        axis=3,
+    )
+    cv = cv.reshape(sx * ny * cv.shape[2], 4 * _L)
+    pv = jax.lax.all_gather(cv, AXIS, axis=0, tiled=True)
+
+    sw = _segments(jnp.transpose(wf, (1, 2, 0)))  # (ny, nz+1, nsx, L)
+    swp = jnp.pad(sw, ((0, 1), (0, 0), (0, 0), (0, 0)))
+    a = jax.lax.dynamic_slice_in_dim(swp, y0, sy + 1, 0)
+    cw = jnp.stack(
+        [a[0:sy, 0:nz], a[0:sy, 1: nz + 1],
+         a[1: sy + 1, 0:nz], a[1: sy + 1, 1: nz + 1]],
+        axis=3,
+    )
+    cw = cw.reshape(sy * nz * cw.shape[2], 4 * _L)
+    pw = jax.lax.all_gather(cw, AXIS, axis=0, tiled=True)
+    return pu, pv, pw
+
+
 def _full_grids(u_ci, v_ci, w_ci):
     """All-gather cell-indexed local face grids into full MAC grids (the
     implicit zero boundary face re-attached)."""
@@ -266,6 +325,7 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
     n_dev = int(mesh.devices.size)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     assert nx % n_dev == 0, "grid x must divide the mesh"
+    assert ny % n_dev == 0, "grid y must divide the mesh (sharded W pack)"
     slabx = nx // n_dev
     N = cfg.num_particles
     assert N % n_dev == 0, "particle count must divide the mesh"
@@ -279,9 +339,10 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
         me = jax.lax.axis_index(AXIS)
         x0 = me * slabx
 
-        # ---- advect (full grids via all-gather; local particle block) ----
+        # ---- advect (full grids via all-gather; local particle block;
+        # pack work sharded 1/D) ----
         uf, vf, wf = _full_grids(u_ci, v_ci, w_ci)
-        pu, pv, pw = pack_mac3(uf, vf, wf)
+        pu, pv, pw = _pack_mac3_sharded(uf, vf, wf, (nx, ny, nz), me, n_dev)
 
         def vel_at(p):
             return interp_mac3_packed_vec(pu, pv, pw, (nx, ny, nz), p * m)
@@ -382,7 +443,9 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
             w - (1.0 - alpha) * old_w,
         )
         duf, dvf, dwf = _full_grids(du, dv, dw)
-        pdu, pdv, pdw = pack_mac3(duf, dvf, dwf)
+        pdu, pdv, pdw = _pack_mac3_sharded(
+            duf, dvf, dwf, (nx, ny, nz), me, n_dev
+        )
         diff = interp_mac3_packed_vec(pdu, pdv, pdw, (nx, ny, nz), pos2 * m)
         vel2 = (1.0 - alpha) * vel_b + diff
 
