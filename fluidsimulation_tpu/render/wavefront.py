@@ -80,7 +80,8 @@ from . import raytrace as rt
 EMPTY, CLASSIFY, OUT, INS, BWD, JUNKED, FIN = -1, 0, 1, 2, 3, 4, 5
 
 _DEF_POOL = 131072
-_DEF_SPR = 6  # march steps per round
+_DEF_SPR = 6    # gathers per round
+_DEF_REUSE = 4  # eval sub-steps per gathered row (tex path)
 
 
 # Trace rows encode the ray index as the float VALUE oidx+1 (exact for
@@ -91,7 +92,7 @@ _DEF_SPR = 6  # march steps per round
 _MAX_RAYS = 1 << 24
 
 
-def _lane_step(dt, st, inv_m0, d8=None, margin=None):
+def _lane_step(dt, st, inv_m0, d8=None, margin=None, gate=None):
     """Advance every pool lane by one march step given dt = md(p).
 
     Replicates raytrace.intersect_water's per-lane updates exactly:
@@ -155,6 +156,21 @@ def _lane_step(dt, st, inv_m0, d8=None, margin=None):
     t_new = jnp.where(fin, t_fin, t_new)
     tp_new = jnp.where(fin, tp_fin, tp_new)
 
+    if gate is not None:
+        # Row-reuse sub-step: lanes whose probe key left the fetched row
+        # freeze until the next gather (their dt is garbage).  JUNKED
+        # lanes never read dt, so they always pass.
+        g = gate | junked
+        fin = fin & g
+        go_bwd = go_bwd & g
+        t_new = jnp.where(g, t_new, t)
+        tp_new = jnp.where(g, tp_new, t_p)
+        p_new = jnp.where(g[:, None], p_new, p)
+        i_new = jnp.where(g, i_new, i)
+        aux_new = jnp.where(g, aux_new, aux)
+        ph = jnp.where(g, ph, phase)
+        ins = ins & g
+
     if d8 is not None:
         # Interior skip (render/interior.py): INS lanes that keep
         # marching jump k provably-interior lattice steps at once.
@@ -176,11 +192,71 @@ def _lane_step(dt, st, inv_m0, d8=None, margin=None):
     return (ph_new, p_new, t_new, tp_new, i_new, aux_new, max_t, p0, ci, oidx)
 
 
-def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace,
-                probe2=None, margin=None):
-    """Run the ray pool over the compacted queue ``rec_q`` (rows
-    [p0.xyz, ci.xyz, max_t, oidx_bits]); returns dense (t, t_p) of length
-    ``n_out`` (zeros for rays never enqueued)."""
+# -- packed-row key/eval split (row reuse) ------------------------------------
+
+def _pkey(dims, ns, p):
+    """Gather key of the packed phi row at p — sample_phi_packed's key
+    computation factored out, so ONE gathered 512 B row can serve several
+    consecutive probes: the z lane axis holds a 32-cell window, and both
+    the inside march's 1-cell steps and the sphere trace's short
+    near-surface steps often stay in the same (ix, iy, seg) row (the
+    default camera looks along +z, FluidSimDemo.cpp:144-163)."""
+    n = jnp.array(dims, jnp.float32)
+    w = rt._warp(p, dims)
+    q = jnp.clip(w * n - 0.5, 0.0, n - 1.0)
+    i = jnp.minimum(jnp.floor(q), n - 2.0)
+    ix = i[:, 0].astype(jnp.int32)
+    iy = i[:, 1].astype(jnp.int32)
+    iz = i[:, 2].astype(jnp.int32)
+    seg = iz // rt._SEG
+    return (ix * (dims[1] - 1) + iy) * ns + seg
+
+
+def _peval(rows, dims, p, skip: bool):
+    """map_dist (and d8 when ``skip``) at p from pre-gathered rows — the
+    arithmetic of sample_phi_packed / interior.sample_phi_skip minus the
+    gather; bit-identical given the row _pkey(p) selects."""
+    n = jnp.array(dims, jnp.float32)
+    w = rt._warp(p, dims)
+    q = jnp.clip(w * n - 0.5, 0.0, n - 1.0)
+    i = jnp.minimum(jnp.floor(q), n - 2.0)
+    f = q - i
+    iz = i[:, 2].astype(jnp.int32)
+    seg = iz // rt._SEG
+    phi_rows = rows[:, : 4 * rt._LANES].reshape(-1, 4, rt._LANES)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, rt._LANES), 2)
+    zpos = (jnp.float32(rt._SEG)
+            * seg.reshape(-1, 1, 1).astype(jnp.float32) + lane)
+    qz = q[:, 2].reshape(-1, 1, 1)
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(qz - zpos))
+    zred = (phi_rows * wz).sum(-1)
+    fx = f[:, 0]
+    fy = f[:, 1]
+    w4 = jnp.stack(
+        [(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy],
+        axis=-1,
+    )
+    val = (zred * w4).sum(-1) / jnp.float32(dims[0])
+    if not skip:
+        return val, None
+    d_rows = rows[:, 4 * rt._LANES:]
+    zlane = (iz - rt._SEG * seg).reshape(-1, 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, rt._LANES), 1)
+    d8 = jnp.where(lane1 == zlane, d_rows, 0.0).sum(-1)
+    return val, d8
+
+
+def _march_pool(probe, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace,
+                reuse=1, margin=None):
+    """Run the ray pool over the queue ``rec_q`` (rows
+    [p0.xyz, ci.xyz, max_t, signed_key]); returns dense (t, t_p) of
+    length ``n_out``.
+
+    ``probe`` is either ("md", fn) / ("md2", fn) — a legacy closure
+    issuing its own gather per eval — or ("tex", rows, dims, ns, skip):
+    the row-reuse path, where each of the ``spr`` gathers per round is
+    followed by ``reuse`` eval sub-steps gated on the probe key staying
+    in the fetched row."""
     P = pool
     zf = jnp.zeros((P,), jnp.float32)
     zi = jnp.zeros((P,), jnp.int32)
@@ -243,12 +319,23 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace,
         cursor, rt_i, trace, st = lax.cond(
             want, refill, lambda x: x, (cursor, rt_i, trace, st)
         )
+        mode = probe[0]
         for _ in range(spr):
-            if probe2 is None:
-                st = _lane_step(md(st[1]), st, inv_m0)
-            else:
-                dt, d8 = probe2(st[1])
+            if mode == "md":
+                st = _lane_step(probe[1](st[1]), st, inv_m0)
+            elif mode == "md2":
+                dt, d8 = probe[1](st[1])
                 st = _lane_step(dt, st, inv_m0, d8=d8, margin=margin)
+            else:
+                _, rows_arr, dims, ns, skip = probe
+                key0 = _pkey(dims, ns, st[1])
+                rows = rows_arr[key0]
+                for j in range(reuse):
+                    gate = (None if j == 0
+                            else _pkey(dims, ns, st[1]) == key0)
+                    dt, d8 = _peval(rows, dims, st[1], skip)
+                    st = _lane_step(dt, st, inv_m0, d8=d8, margin=margin,
+                                    gate=gate)
         return r + 1, cursor, rt_i, trace, st
 
     r, cursor, rt_i, trace, st = lax.while_loop(
@@ -282,13 +369,17 @@ def _march_pool(md, rec_q, m_count, n_out, inv_m0, pool, spr, r_trace,
 
 def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
                        pool=_DEF_POOL, spr=_DEF_SPR, with_stats=False,
-                       probe2=None, margin=None):
+                       probe2=None, margin=None, reuse=_DEF_REUSE):
     """Pool-marched twin of raytrace.intersect_water: same (p, t) up to
     program-level fp-contraction drift (see module docstring).
 
-    ``co/ci/max_t`` may have any leading shape; flattened internally.
-    ``with_stats`` additionally returns the pool's (rounds, refills,
-    consumed, queued) scalars for perf diagnosis.
+    ``md`` may be a PackedPhi / interior.PackedPhiSkip texture — the fast
+    row-reuse path (one gather per ``reuse`` eval sub-steps; skip margin
+    enabled for PackedPhiSkip) — or a legacy ``md(p)`` closure (optional
+    ``probe2(p) -> (dt, d8)`` for the interior skip), which gathers per
+    eval.  ``co/ci/max_t`` may have any leading shape; flattened
+    internally.  ``with_stats`` additionally returns the pool's (rounds,
+    refills, consumed, queued) scalars for perf diagnosis.
     """
     shape = max_t.shape
     co_f = co.reshape(-1, 3)
@@ -317,8 +408,23 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
     # (except the last), plus the initial and final evacuation rows.
     r_trace = 8 * (-(-n // P)) + 4
 
-    t, t_p, stats = _march_pool(md, rec_q, jnp.int32(n), n, inv_m0, P, spr,
-                                r_trace, probe2=probe2, margin=margin)
+    from . import interior as intr
+
+    if isinstance(md, intr.PackedPhiSkip):
+        probe = ("tex", md.rows, md.dims, md.ns, True)
+        if margin is None:
+            margin = jnp.float32(intr._SKIP_MARGIN)
+    elif isinstance(md, rt.PackedPhi):
+        probe = ("tex", md.rows, md.dims, md.ns, False)
+    elif probe2 is not None:
+        probe = ("md2", probe2)
+        reuse = 1
+    else:
+        probe = ("md", md)
+        reuse = 1
+
+    t, t_p, stats = _march_pool(probe, rec_q, jnp.int32(n), n, inv_m0, P,
+                                spr, r_trace, reuse=reuse, margin=margin)
     p = p0 + t_p[:, None] * ci_f
     if with_stats:
         return p.reshape(*shape, 3), t.reshape(shape), stats
@@ -327,17 +433,19 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
 
 # -- bounce-level orchestration (wavefront twins of raytrace's) --------------
 
-def _expand_bounce_wf(md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
-                      spr=_DEF_SPR, probe2=None, margin=None):
-    """Wavefront twin of raytrace._expand_bounce (identical dense math, the
-    march routed through the pool)."""
+def _expand_bounce_wf(texq, md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
+                      spr=_DEF_SPR, reuse=_DEF_REUSE):
+    """Wavefront twin of raytrace._expand_bounce (identical dense math,
+    the march routed through the pool).  ``texq`` feeds the pool (texture
+    or legacy closure); ``md`` is the plain closure for the dense
+    gradient taps."""
     co = co + 0.001 * ci
     half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
     _, max_t, _, _ = rt.intersect_aabb(co, ci, -half, half)
     dead = None if w is None else (w <= 0.0)
     p_hit, t_hit = intersect_water_wf(
-        md, inv_m0, co, ci, max_t, dead=dead, pool=pool, spr=spr,
-        probe2=probe2, margin=margin,
+        texq, inv_m0, co, ci, max_t, dead=dead, pool=pool, spr=spr,
+        reuse=reuse,
     )
     ipoint = p_hit - 0.5
     missed = (t_hit >= max_t) | (max_t >= rt.LARGE)
@@ -356,21 +464,20 @@ def _expand_bounce_wf(md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
     return ipoint, d_a, w_a, d_b, w_b
 
 
-def trace_water2_wf(md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR,
-                    probe2=None, margin=None):
+def trace_water2_wf(texq, md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR,
+                    reuse=_DEF_REUSE):
     """Wavefront twin of raytrace.trace_water2."""
     shape = co.shape
 
     ip1, d_a, w_a, d_b, w_b = _expand_bounce_wf(
-        md, inv_m0, co, ci, pool=pool, spr=spr, probe2=probe2, margin=margin
+        texq, md, inv_m0, co, ci, pool=pool, spr=spr, reuse=reuse
     )
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
     ip2, d_c, w_c, d_d, w_d = _expand_bounce_wf(
-        md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr, probe2=probe2,
-        margin=margin
+        texq, md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr, reuse=reuse
     )
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
@@ -382,19 +489,16 @@ def trace_water2_wf(md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR,
     return (cols * w3[..., None]).sum(axis=0)
 
 
-def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
+def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR, reuse=_DEF_REUSE):
     """Wavefront twin of raytrace.shade (PS main, Render.fx:518-578).
 
     A PackedPhiSkip texture (render/interior.py) additionally enables the
     inside-march interior skip, bit-identical on power-of-two grids."""
     from . import interior as intr
 
-    probe2 = margin = None
     if isinstance(phi, intr.PackedPhiSkip):
         tex = phi
-        probe2 = lambda p: intr.probe_skip(tex, p)
-        margin = jnp.float32(intr._SKIP_MARGIN)
-        md = lambda p: probe2(p)[0]
+        md = lambda p: intr.probe_skip(tex, p)[0]
     elif isinstance(phi, rt.PackedPhi):
         tex = phi
         md = lambda p: rt.map_dist_packed(tex, p)
@@ -408,8 +512,7 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
     h, prim_co, prim_ci, _, _ = rt.trace_glass(co_f, ci_f)
     hit = h < rt.LARGE
     col_water = trace_water2_wf(
-        md, inv_m0, prim_co, prim_ci, pool=pool, spr=spr, probe2=probe2,
-        margin=margin,
+        tex, md, inv_m0, prim_co, prim_ci, pool=pool, spr=spr, reuse=reuse,
     )
     col_sky = rt.sample_environment(ci_f)
     col = jnp.where(hit[..., None], col_water, col_sky)
@@ -418,11 +521,12 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "pool", "spr", "build")
+    jax.jit,
+    static_argnames=("width", "height", "pool", "spr", "build", "reuse"),
 )
 def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
                width: int, height: int, pool: int, spr: int,
-               build: str = "none"):
+               build: str = "none", reuse: int = _DEF_REUSE):
     if build != "none":  # tex is the raw phi; pack it inside the program
         from . import interior as intr
 
@@ -434,25 +538,25 @@ def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
     v = 1.0 - 2.0 * fy
     ci = rt._norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade_wf(tex, co, ci, pool=pool, spr=spr)
+    return shade_wf(tex, co, ci, pool=pool, spr=spr, reuse=reuse)
 
 
 def render_wavefront(phi, cam_pos, cam_right, cam_up, cam_fwd,
                      width: int, height: int,
                      pool: int = _DEF_POOL, spr: int = _DEF_SPR,
-                     skip: bool = True):
+                     skip: bool = True, reuse: int = _DEF_REUSE):
     """Whole-frame wavefront render (the exact reference image — same
     per-lane march decisions as raytrace.render, to fp-contraction drift).
 
     ``skip=True`` builds the PackedPhiSkip texture when the grid is
     power-of-two, enabling the provably-exact inside-march interior skip
-    (render/interior.py)."""
+    (render/interior.py).  ``reuse`` = eval sub-steps per gathered row."""
     from . import interior as intr
 
     if isinstance(phi, (rt.PackedPhi, intr.PackedPhiSkip)):
         return _render_wf(phi, cam_pos, cam_right, cam_up, cam_fwd,
-                          width, height, pool, spr)
+                          width, height, pool, spr, reuse=reuse)
     pow2 = all((d & (d - 1)) == 0 for d in phi.shape)
     build = "skip" if (skip and pow2) else "plain"
     return _render_wf(phi, cam_pos, cam_right, cam_up, cam_fwd,
-                      width, height, pool, spr, build=build)
+                      width, height, pool, spr, build=build, reuse=reuse)

@@ -83,38 +83,45 @@ def main():
     print(f"L2 rays {int(mt2.shape[0])}, marchable "
           f"{int(jnp.sum((mt2 < rt.LARGE) & ~dead))}", flush=True)
 
-    @functools.partial(jax.jit, static_argnames=("p_", "c_", "fmt"))
-    def pool(texq, co, ci, mt, dd, mgn, p_, c_, fmt):
-        if fmt == "skip":
-            probe2 = lambda q: intr.probe_skip(texq, q)  # noqa: E731
-            md = lambda q: probe2(q)[0]  # noqa: E731
+    @functools.partial(jax.jit, static_argnames=("p_", "c_", "reuse",
+                                                  "fmt"))
+    def pool(texq, co, ci, mt, dd, mgn, p_, c_, reuse, fmt):
+        if fmt == "closure":
+            md = lambda q: rt.map_dist_packed(texq, q)  # noqa: E731
             return wf.intersect_water_wf(md, inv, co, ci, mt, dead=dd,
-                                         pool=p_, spr=c_, with_stats=True,
-                                         probe2=probe2, margin=mgn)
-        md = lambda q: rt.map_dist_packed(texq, q)  # noqa: E731
-        return wf.intersect_water_wf(md, inv, co, ci, mt, dead=dd,
-                                     pool=p_, spr=c_, with_stats=True)
+                                         pool=p_, spr=c_, with_stats=True)
+        return wf.intersect_water_wf(texq, inv, co, ci, mt, dead=dd,
+                                     pool=p_, spr=c_, reuse=reuse,
+                                     margin=mgn, with_stats=True)
 
     ref_t = None
-    for fmt, texq, mgn in (("plain", texp, 0.0),
-                           ("skip", texs, 1e9),
-                           ("skip", texs, wf.jnp.float32(5.0) * 1)):
-        for P in (131072, 262144):
-            for spr in (6, 12):
-                ms, out = timeit(pool, texq, co2e, d2, mt2, dead,
-                                 jnp.float32(mgn), P, spr, fmt)
-                st = jax.tree_util.tree_map(int, out[2])
-                tag = f"{fmt} m={mgn:g} P={P} C={spr}"
-                print(f"{tag:34s}: {ms:8.1f} ms  rounds {st['rounds']}",
+    cases = [
+        ("closure", texp, 0.0, 131072, 6, 1),
+        ("tex", texp, 0.0, 131072, 6, 1),
+        ("tex", texp, 0.0, 131072, 6, 2),
+        ("tex", texp, 0.0, 131072, 6, 4),
+        ("tex", texp, 0.0, 131072, 6, 6),
+        ("tex", texp, 0.0, 131072, 12, 4),
+        ("tex", texp, 0.0, 65536, 6, 4),
+        ("tex", texs, 5.0, 131072, 6, 4),
+        ("tex", texs, 5.0, 131072, 6, 6),
+    ]
+    for fmt, texq, mgn, P, spr, reuse in cases:
+        ms, out = timeit(pool, texq, co2e, d2, mt2, dead,
+                         jnp.float32(mgn), P, spr, reuse, fmt)
+        st = jax.tree_util.tree_map(int, out[2])
+        skipf = "skip" if isinstance(texq, intr.PackedPhiSkip) else "plain"
+        tag = f"{fmt}/{skipf} P={P} C={spr} R={reuse}"
+        print(f"{tag:36s}: {ms:8.1f} ms  rounds {st['rounds']}",
+              flush=True)
+        if ref_t is None:
+            ref_t = out[1]
+        else:
+            d = np.abs(np.asarray(out[1]) - np.asarray(ref_t))
+            if (d > 1e-5).mean() > 0.004:
+                print(f"   WARNING t mismatch frac "
+                      f"{(d > 1e-5).mean():.4f} max {d.max():.2e}",
                       flush=True)
-                if ref_t is None:
-                    ref_t = out[1]
-                else:
-                    d = np.abs(np.asarray(out[1]) - np.asarray(ref_t))
-                    if (d > 1e-5).mean() > 0.004:
-                        print(f"   WARNING t mismatch frac "
-                              f"{(d > 1e-5).mean():.4f} max {d.max():.2e}",
-                              flush=True)
 
 
 if __name__ == "__main__":

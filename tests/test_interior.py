@@ -109,6 +109,20 @@ def test_skip_march_bit_identical(phi32):
     p_on, t_on = run(jnp.float32(intr._SKIP_MARGIN))
     np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))
     np.testing.assert_array_equal(np.asarray(p_off), np.asarray(p_on))
+
+    # Same property on the texture (row-reuse) path: one program, the
+    # margin toggles the skip, bit-identical outputs.
+    @jax.jit
+    def run_tex(margin):
+        return wf.intersect_water_wf(
+            tex, inv_m0, co, ci, max_t, pool=256, spr=3, reuse=4,
+            margin=margin,
+        )
+
+    p_off, t_off = run_tex(jnp.float32(1e9))
+    p_on, t_on = run_tex(jnp.float32(intr._SKIP_MARGIN))
+    np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))
+    np.testing.assert_array_equal(np.asarray(p_off), np.asarray(p_on))
     # and the skip actually fires for deep inside rays (fewer rounds is
     # not observable here, but identical output with a real margin is the
     # load-bearing property)

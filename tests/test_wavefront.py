@@ -69,7 +69,8 @@ def _assert_close_mostly(a, b, atol, outlier_frac, outlier_max):
 
 
 @pytest.mark.parametrize("pool", [64, 4096])
-def test_intersect_water_pool_bitwise(phi24, pool):
+@pytest.mark.parametrize("mode", ["closure", "tex", "tex_reuse"])
+def test_intersect_water_pool_bitwise(phi24, pool, mode):
     tex = rt.PackedPhi(phi24)
     md = lambda p: rt.map_dist_packed(tex, p)
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
@@ -77,8 +78,10 @@ def test_intersect_water_pool_bitwise(phi24, pool):
     max_t = _maxt(co, ci)
 
     p_ref, t_ref = rt.intersect_water(md, inv_m0, co, ci, max_t)
+    texq = md if mode == "closure" else tex
+    reuse = 4 if mode == "tex_reuse" else 1
     p_wf, t_wf = wf.intersect_water_wf(
-        md, inv_m0, co, ci, max_t, pool=pool, spr=3
+        texq, inv_m0, co, ci, max_t, pool=pool, spr=3, reuse=reuse
     )
     _assert_close_mostly(t_ref, t_wf, 1e-5, 0.002, 0.1)
     _assert_close_mostly(p_ref, p_wf, 1e-5, 0.002, 0.1)
