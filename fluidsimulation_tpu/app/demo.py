@@ -117,6 +117,12 @@ def main(argv=None):
         "(k=2 -> 4x fewer rays; exact reference image at k=1)",
     )
     ap.add_argument(
+        "--renderer", choices=("wavefront", "tiled"), default="wavefront",
+        help="exact-path renderer: the global-ray-pool wavefront "
+        "formulation (default) or the scan-tiled one; same image up to "
+        "fp-contraction drift (docs/PARITY.md)",
+    )
+    ap.add_argument(
         "--two-d", action="store_true",
         help="run the 2D solver (FluidSim / FluidSimDemoOld equivalent), "
         "rendering particle splats over a checkerboard",
@@ -175,7 +181,12 @@ def main(argv=None):
             # the requested size even when width/height % k != 0.
             w, h = -(-args.width // k), -(-args.height // k)
             co, right, up, fwd = cam.frame(w, h)
-            img = render(s.phi, co, right, up, fwd, w, h, band_rows=64)
+            if args.renderer == "wavefront":
+                from ..render.wavefront import render_wavefront
+
+                img = render_wavefront(s.phi, co, right, up, fwd, w, h)
+            else:
+                img = render(s.phi, co, right, up, fwd, w, h, band_rows=64)
             out = np.asarray(img)
             if k > 1:
                 out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)
