@@ -40,6 +40,17 @@ def _nseg(n_normal: int) -> int:
     return (n_normal - 2) // _S + 1
 
 
+def _u_stride(pu, dims) -> int:
+    """U tables exist in two row layouts: the plain pack's key stride is
+    ny-1 (iJ in [0, ny-2]); the Pallas pair pack (core/pallas_pairpack.py)
+    pads the stride to ny so its output blocks tile 8-aligned (the iJ =
+    ny-1 rows are dead).  The layouts differ in ROW COUNT — nx*(ny-1)*ns
+    vs nx*ny*ns — which is static under jit, so consumers infer the stride
+    from the shape and both layouts flow through the same interp code."""
+    nx, ny, nz = dims
+    return ny if pu.shape[0] == nx * ny * _nseg(nz) else ny - 1
+
+
 def _pad_minor(a, total: int):
     pad = [(0, 0)] * a.ndim
     pad[-1] = (0, total - a.shape[-1])
@@ -159,7 +170,8 @@ def interp_mac3_packed(pu, pv, pw, dims, pi, pj, pk):
     segx = (iI / _S).astype(jnp.int32)
 
     # U
-    key = (iEI.astype(jnp.int32) * (ny - 1) + iJ.astype(jnp.int32)) * ns + segz
+    ust = _u_stride(pu, dims)
+    key = (iEI.astype(jnp.int32) * ust + iJ.astype(jnp.int32)) * ns + segz
     rows = pu[key].reshape(-1, 4, _L)
     uval = _corner_mix(_hat_reduce(rows, nK, segz.astype(jnp.float32)), fEI, fJ)
 
@@ -276,7 +288,8 @@ def interp_mac3_packed_pair(pu2, pv2, pw2, dims, pi, pj, pk):
     segz = (iK / _S).astype(jnp.int32)
     segx = (iI / _S).astype(jnp.int32)
 
-    key = (iEI.astype(jnp.int32) * (ny - 1) + iJ.astype(jnp.int32)) * ns + segz
+    ust = _u_stride(pu2, dims)
+    key = (iEI.astype(jnp.int32) * ust + iJ.astype(jnp.int32)) * ns + segz
     rows2 = pu2[key].reshape(-1, 2, 4, _L)
     uval = _corner_mix2(_hat_reduce2(rows2, nK, segz.astype(jnp.float32)), fEI, fJ)
 
@@ -324,7 +337,8 @@ def interp_mac3_packed_half(pu2, pv2, pw2, dims, pi, pj, pk, half: int = 1):
     segz = (iK / _S).astype(jnp.int32)
     segx = (iI / _S).astype(jnp.int32)
 
-    key = (iEI.astype(jnp.int32) * (ny - 1) + iJ.astype(jnp.int32)) * ns + segz
+    ust = _u_stride(pu2, dims)
+    key = (iEI.astype(jnp.int32) * ust + iJ.astype(jnp.int32)) * ns + segz
     rows = pu2[key].reshape(-1, 2, 4, _L)[:, half]
     uval = _corner_mix(_hat_reduce(rows, nK, segz.astype(jnp.float32)), fEI, fJ)
 

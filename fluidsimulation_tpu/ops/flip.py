@@ -38,7 +38,8 @@ def flip_update(
 
 
 def flip_update_carry(
-    cfg: SimConfig, pos, vel, u, v, w, old_u, old_v, old_w, alpha
+    cfg: SimConfig, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+    pallas: bool = False,
 ):
     """flip_update (packed) that additionally returns the next step's
     AdvectCache for free: the diff-grid AND the final-grid packs ride the
@@ -58,7 +59,15 @@ def flip_update_carry(
     dv = v - (1.0 - alpha) * old_v
     dw = w - (1.0 - alpha) * old_w
     m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
-    fat = pack_mac3_pair((du, dv, dw), (u, v, w))
+    if pallas:
+        # On-chip pack (core/pallas_pairpack.py): bit-identical row content
+        # in the padded-U-stride layout, which the interp functions detect
+        # from the table shape.
+        from ..core.pallas_pairpack import pack_mac3_pair_pallas
+
+        fat = pack_mac3_pair_pallas((du, dv, dw), (u, v, w))
+    else:
+        fat = pack_mac3_pair((du, dv, dw), (u, v, w))
     diff, k1 = interp_mac3_packed_pair_vec(
         *fat, (cfg.nx, cfg.ny, cfg.nz), pos * m
     )

@@ -178,8 +178,11 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     if fast and state.cache is not None:
         from ..ops.flip import flip_update_carry
 
+        from ..core.pallas_pairpack import pairpack_fits
+
         vel, cache = flip_update_carry(
-            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha
+            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+            pallas=use_pallas and pairpack_fits((cfg.nx, cfg.ny, cfg.nz)),
         )
     else:
         vel = flip_update(

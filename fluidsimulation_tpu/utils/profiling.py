@@ -116,6 +116,18 @@ def _jitted3(fn):
     return jax.jit(fn, static_argnums=(0, 1, 2))
 
 
+def _flip_carry_stage(cfg, use_pallas, pos, vel, u, v, w, ou, ov, ow, alpha):
+    """FLIP+carry with the same pack routing as step() (profiler fidelity:
+    time the pair-pack kernel the fused step actually runs)."""
+    from ..core.pallas_pairpack import pairpack_fits
+    from ..ops import flip
+
+    return flip.flip_update_carry(
+        cfg, pos, vel, u, v, w, ou, ov, ow, alpha,
+        pallas=use_pallas and pairpack_fits((cfg.nx, cfg.ny, cfg.nz)),
+    )
+
+
 def _bin_stage(cfg, use_super, pos, vel):
     if use_super:
         from ..ops import supertable
@@ -266,8 +278,8 @@ def profile_step(
     alpha = pic_flip_alpha(cfg, dt)
     if fast and state.cache is not None:
         vel, cache = prof.timed(
-            "FLIP_APPLY", _jitted(flip.flip_update_carry),
-            cfg, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
+            "FLIP_APPLY", _jitted2(_flip_carry_stage),
+            cfg, use_pallas, pos, vel, u, v, w, old_u, old_v, old_w, alpha,
         )
     else:
         vel = prof.timed(

@@ -111,3 +111,23 @@ def test_tpu_pallas_p2g_super():
             np.asarray(got[i])[valid], np.asarray(want[i])[valid],
             rtol=2e-4, atol=2e-4,
         )
+
+
+@requires_tpu
+def test_tpu_pallas_pairpack():
+    from fluidsimulation_tpu.core.pallas_pairpack import (
+        pack_mac3_pair_pallas,
+        pack_mac3_pair_padded,
+    )
+
+    rng = np.random.default_rng(11)
+    nx = ny = nz = 16
+    shapes = ((nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1))
+    ga = tuple(jnp.asarray(rng.normal(size=s).astype(np.float32))
+               for s in shapes)
+    gb = tuple(jnp.asarray(rng.normal(size=s).astype(np.float32))
+               for s in shapes)
+    ref = pack_mac3_pair_padded(ga, gb)
+    ker = pack_mac3_pair_pallas(ga, gb)
+    for r, k in zip(ref, ker):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(k))
