@@ -68,13 +68,23 @@ def _pair_pack_component(ga, gb, n_major: int, n_mid: int, ns: int,
 
     def kernel(*refs):
         out_ref = refs[-1]
-        cols = []
+        # Fat rows assemble by LANE-dim concatenation of the eight 32-lane
+        # corner segments (all operands at lane offset 0 — Mosaic accepts
+        # this; only mismatched offsets on non-concat dims are rejected).
+        # The (T, ns, 8*_L) -> (T*ns, 8*_L) reshape collapses OUTER dims
+        # with the lane dim fixed, the supported pallas_pack.py pattern;
+        # the previous (T, ns*8, _L) -> (T*ns, 8*_L) lane-widening reshape
+        # was an unsupported shape cast on the real backend.
+        rows = []
         for s in range(ns):
-            for st in range(2):
-                for dx in range(2):
-                    for dy in range(2):
-                        cols.append(refs[(st * 2 + dy) * ns + s][dx])
-        stacked = jnp.stack(cols, axis=1)  # (T, ns*8, _L)
+            segs = [
+                refs[(st * 2 + dy) * ns + s][dx]
+                for st in range(2)
+                for dx in range(2)
+                for dy in range(2)
+            ]
+            rows.append(jnp.concatenate(segs, axis=-1))  # (T, 8*_L)
+        stacked = jnp.stack(rows, axis=1)  # (T, ns, 8*_L)
         out_ref[:] = stacked.reshape(T * ns, 8 * _L)
 
     grid = (n_major, n_mid // T)
