@@ -117,10 +117,11 @@ def main(argv=None):
         "(k=2 -> 4x fewer rays; exact reference image at k=1)",
     )
     ap.add_argument(
-        "--renderer", choices=("wavefront", "tiled"), default="wavefront",
-        help="exact-path renderer: the global-ray-pool wavefront "
-        "formulation (default) or the scan-tiled one; same image up to "
-        "fp-contraction drift (docs/PARITY.md)",
+        "--renderer", choices=("wavefront", "tiled"), default="tiled",
+        help="exact-path renderer: the scan-tiled formulation (default — "
+        "measured faster at 64^3-128^3, scripts/diag_wf_r4.py) or the "
+        "global-ray-pool wavefront one; same image up to fp-contraction "
+        "drift (docs/PARITY.md)",
     )
     ap.add_argument(
         "--two-d", action="store_true",

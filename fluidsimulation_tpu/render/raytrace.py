@@ -40,6 +40,13 @@ WALL = 0.02  # glass wall thickness, Render.fx:60
 # 4 = 363 — the md() row gathers dominate, so extra sub-steps past whole-
 # batch convergence cost more than the saved per-iteration any-reduce.
 _UNROLL = 1
+# Speculative probes per inside-march while iteration (intersect_water
+# fwd loop).  Unlike _UNROLL (which adds SERIAL gathers), the fixed
+# march's probe positions are data-independent, so _SPEC sub-steps share
+# ONE batched md() gather — the gather count per converged lane is
+# unchanged and the batch is _SPEC x larger (the measured fast regime).
+# Must divide 128 (the reference trip count) so the loop bound is exact.
+_SPEC = 8
 SPOT = (-0.7, 0.05, 0.5)  # sun direction (normalized below), Render.fx:28
 
 
@@ -179,6 +186,135 @@ def sample_phi_packed(tex: PackedPhi, p):
 
 def map_dist_packed(tex: PackedPhi, p):
     return sample_phi_packed(tex, _warp(p, tex.dims)) / jnp.float32(tex.dims[0])
+
+
+# -- gradient-tap texture (one gather per forward-difference gradient) -------
+#
+# compute_gradient's four taps (p, p+ex, p+ey, p+ez, e = 0.005) cost four
+# 512 B row gathers; measured 90 ms/frame at 128^3 (5.76 M rows, transaction
+# bound — scripts/diag_wf_r4.py).  All four taps' 2x2x2 neighborhoods fit in
+# ONE 3x3-corner row: the warped coordinate moves by < 1 cell per tap
+# (quintic warp: max DQ over a 0.005*n <= 0.72 input window is < 1, and y is
+# unwarped), so tap floors are {i, i+1} per axis — corners {i, i+1, i+2} —
+# and a z-window stride of 30 keeps iz+2 inside the 32-lane window.
+
+_S9 = 30
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedPhi9:
+    """Packed (9 x 32)-row gradient-tap texture: row (ix, iy, s) holds the
+    3x3 (x, y)-corner z-segments [30s, 30s+32) of phi (x/y zero-padded by
+    one so the ix+2 / iy+2 corners exist; those lanes are never selected
+    when they'd be out of range — the tap floor is clamped to n-2)."""
+
+    def __init__(self, phi=None, *, rows=None, dims=None, ns=None):
+        if phi is None:  # tree_unflatten path
+            self.rows, self.dims, self.ns = rows, dims, ns
+            return
+        nx, ny, nz = phi.shape
+        self.dims = (nx, ny, nz)
+        self.ns = (nz - 2) // _S9 + 1
+        pad = _S9 * (self.ns - 1) + _LANES
+        pp = jnp.pad(phi, ((0, 1), (0, 1), (0, pad - nz)))
+        seg = jnp.stack(
+            [pp[..., _S9 * s : _S9 * s + _LANES] for s in range(self.ns)],
+            axis=-2,
+        )  # (nx+1, ny+1, ns, L)
+        rows = jnp.stack(
+            [
+                seg[dx : dx + nx - 1, dy : dy + ny - 1]
+                for dx in range(3)
+                for dy in range(3)
+            ],
+            axis=3,
+        )  # (nx-1, ny-1, ns, 9, L)
+        self.rows = rows.reshape((nx - 1) * (ny - 1) * self.ns, 9 * _LANES)
+
+    def tree_flatten(self):
+        return (self.rows,), (self.dims, self.ns)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dims, ns = aux
+        return cls(rows=children[0], dims=dims, ns=ns)
+
+
+def gradient_fits_phi9(dims) -> bool:
+    """The single-row gradient needs every tap's warped shift < 1 cell:
+    0.005 * n <= 0.72 bounds the quintic DQ at 0.983 with f32 headroom."""
+    return max(dims) * 0.005 <= 0.72
+
+
+def compute_gradient9(tex9: PackedPhi9, p):
+    """compute_gradient(map_dist_packed(tex), p) from ONE row gather.
+
+    Each tap computes the SAME warped coordinates, floors, hat weights and
+    corner mix as sample_phi_packed (bit-identical arithmetic); the only
+    change is where the corner z-segments come from — the shared 9-corner
+    row instead of a per-tap 4-corner row.  Hat-reducing a differently
+    offset 32-lane window is exact (all non-adjacent lanes contribute
+    exact 0.0 and f32 addition of zeros is order-independent).  The tap
+    floor offset vs the base floor is {0, 1} by the warp bound above; it
+    is clamped defensively (a downward ulp wiggle of the computed quintic
+    at an exactly-integer coordinate could yield -1 — measure-zero, not
+    observed)."""
+    nx, ny, nz = tex9.dims
+    n = jnp.array(tex9.dims, jnp.float32)
+    shape = p.shape[:-1]
+    pf = p.reshape(-1, 3)
+
+    w0 = _warp(pf, tex9.dims)
+    q0 = jnp.clip(w0 * n - 0.5, 0.0, n - 1.0)
+    i0 = jnp.minimum(jnp.floor(q0), n - 2.0)
+    ix = i0[:, 0].astype(jnp.int32)
+    iy = i0[:, 1].astype(jnp.int32)
+    iz = i0[:, 2].astype(jnp.int32)
+    seg = iz // _S9
+    key = (ix * (ny - 1) + iy) * tex9.ns + seg
+    rows = tex9.rows[key].reshape(-1, 9, _LANES)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, _LANES), 2)
+    zpos = jnp.float32(_S9) * seg.reshape(-1, 1, 1).astype(jnp.float32) + lane
+
+    e = 0.005
+
+    def tap(dp):
+        wq = _warp(pf + jnp.asarray(dp, jnp.float32), tex9.dims)
+        q = jnp.clip(wq * n - 0.5, 0.0, n - 1.0)
+        i = jnp.minimum(jnp.floor(q), n - 2.0)
+        f = q - i
+        qz = q[:, 2].reshape(-1, 1, 1)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(qz - zpos))
+        zred = (rows * wz).sum(-1).reshape(-1, 3, 3)
+        dxb = (i[:, 0].astype(jnp.int32) - ix) >= 1
+        dyb = (i[:, 1].astype(jnp.int32) - iy) >= 1
+
+        def pick(a, b):
+            return jnp.where(
+                dxb & dyb, zred[:, a + 1, b + 1],
+                jnp.where(dxb, zred[:, a + 1, b],
+                          jnp.where(dyb, zred[:, a, b + 1], zred[:, a, b])),
+            )
+
+        zr4 = jnp.stack([pick(0, 0), pick(0, 1), pick(1, 0), pick(1, 1)],
+                        axis=-1)
+        fx = f[:, 0]
+        fy = f[:, 1]
+        w4 = jnp.stack(
+            [(1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy],
+            axis=-1,
+        )
+        return (zr4 * w4).sum(-1) / jnp.float32(nx)
+
+    d0 = tap((0.0, 0.0, 0.0))
+    g = jnp.stack(
+        [tap((e, 0.0, 0.0)) - d0, tap((0.0, e, 0.0)) - d0,
+         tap((0.0, 0.0, e)) - d0],
+        axis=-1,
+    )
+    top = pf[:, 1] > 0.999
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    return jnp.where(top[:, None], up, g).reshape(*shape, 3)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -522,10 +658,28 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
 
         def fwd_body(c):
             i, p, t, i_exit, exited, boxed = c
-            for j in range(_UNROLL):
+            # Speculative probe block: the fixed march's probe positions
+            # are data-independent given the shared step count (active
+            # lanes all carry t = i*step accumulated through the same add
+            # chain), so _SPEC sub-steps' probes go out as ONE md() batch
+            # — merging what were serial small-batch gathers into a
+            # pipelined (_SPEC x batch)-row gather — and the dts are then
+            # applied serially in-register with the exact per-lane break
+            # semantics (a lane that exits mid-block simply ignores the
+            # remaining dts, which the serial form would also have probed
+            # and masked).  t/position chains reuse the serial
+            # expressions, so results are bit-identical.
+            ps = [p]
+            ts = [t]
+            for j in range(1, _SPEC):
+                t_j = ts[-1] + step
+                ts.append(t_j)
+                ps.append(p0 + t_j[..., None] * ci)
+            dts = md(jnp.stack(ps, axis=0))  # (_SPEC, *batch)
+            for j in range(_SPEC):
                 active = ~(exited | boxed)
-                dt = md(p)
-                t2 = t + step
+                dt = dts[j]
+                t2 = ts[j] + step
                 exit_now = active & (dt >= 0.0)
                 box_now = active & ~exit_now & (t2 >= max_t)
                 i_exit = jnp.where(exit_now, i + j, i_exit)
@@ -535,7 +689,7 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
                 p = jnp.where((active & ~exit_now)[..., None], p2, p)
                 exited = exited | exit_now
                 boxed = boxed | box_now
-            return i + _UNROLL, p, t, i_exit, exited, boxed
+            return i + _SPEC, p, t, i_exit, exited, boxed
 
         init = (
             jnp.int32(0),
@@ -612,7 +766,7 @@ def trace_water0(co, ci):
     return prim_alpha[..., None] * sample_environment(prim_ci) + refl_sum
 
 
-def _expand_bounce(md, inv_m0, co, ci, w=None):
+def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
@@ -634,7 +788,15 @@ def _expand_bounce(md, inv_m0, co, ci, w=None):
     # per-pixel short-circuit to traceWater0) instead of marching it.
     missed = (t_hit >= max_t) | (max_t >= LARGE)
 
-    norm = _norm(compute_gradient(md, p_hit), eps=1e-20)
+    # Surface normal: the Phi9 texture computes all four forward-difference
+    # taps from ONE row gather (bit-identical arithmetic — see
+    # compute_gradient9); the md-tap form is the fallback for grids where
+    # the single-row window can't hold every tap (gradient_fits_phi9).
+    if g9 is not None:
+        grad = compute_gradient9(g9, p_hit)
+    else:
+        grad = compute_gradient(md, p_hit)
+    norm = _norm(grad, eps=1e-20)
     from_inside = _dot(norm, ci) > 0.0
     n1 = jnp.where(from_inside, 1.333, 1.000)
     n2 = jnp.where(from_inside, 1.000, 1.333)
@@ -648,7 +810,7 @@ def _expand_bounce(md, inv_m0, co, ci, w=None):
     return ipoint, d_a, w_a, d_b, w_b
 
 
-def trace_water2(md, inv_m0, co, ci):
+def trace_water2(md, inv_m0, co, ci, g9=None):
     """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
     Render.fx:442-515), restructured as *batched* levels: each bounce level
     concatenates its child rays and traces them in one call (4 leaf rays per
@@ -661,12 +823,13 @@ def trace_water2(md, inv_m0, co, ci):
     shifting the ray origin by the 0.001 epsilon step once more."""
     shape = co.shape
 
-    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci)
+    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9)
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
-    ip2, d_c, w_c, d_d, w_d = _expand_bounce(md, inv_m0, co2, d2, w=w2)
+    ip2, d_c, w_c, d_d, w_d = _expand_bounce(md, inv_m0, co2, d2, w=w2,
+                                             g9=g9)
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
     w3 = jnp.concatenate([w2 * w_c, w2 * w_d], axis=0)
@@ -677,10 +840,10 @@ def trace_water2(md, inv_m0, co, ci):
     return (cols * w3[..., None]).sum(axis=0)
 
 
-def trace_water1(md, inv_m0, co, ci):
+def trace_water1(md, inv_m0, co, ci, g9=None):
     """1-bounce variant (traceWater1), kept for API parity."""
     shape = co.shape
-    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci)
+    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9)
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
@@ -690,12 +853,14 @@ def trace_water1(md, inv_m0, co, ci):
 
 # -- top-level pixel shader --------------------------------------------------
 
-def shade(phi, co, ci):
+def shade(phi, co, ci, g9=None):
     """PS main (Render.fx:518-578) for ray batches.
 
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
     frame, render many tiles — the pack costs ~ms at 128^3 and must not be
-    paid per tile); all map() sampling goes through the packed texture."""
+    paid per tile); all map() sampling goes through the packed texture.
+    ``g9``: optional pre-built PackedPhi9 gradient-tap texture (one row
+    gather per surface normal instead of four)."""
     if isinstance(phi, PackedPhi8):
         tex = phi
         md = lambda p: map_dist_packed8(tex, p)
@@ -708,7 +873,7 @@ def shade(phi, co, ci):
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
-    col_water = trace_water2(md, inv_m0, prim_co, prim_ci)
+    col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9)
     col_sky = sample_environment(ci)
     col = jnp.where(hit[..., None], col_water, col_sky)
     out = jnp.abs(col) ** 2.2
@@ -723,7 +888,8 @@ def shade(phi, co, ci):
     jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
 )
 def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
-                 width: int, height: int, tile_h: int, tile_w: int, y0, x0):
+                 width: int, height: int, tile_h: int, tile_w: int, y0, x0,
+                 g9=None):
     """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
     px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
     py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
@@ -732,14 +898,15 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
     v = 1.0 - 2.0 * fy
     ci = _norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade(tex, co, ci)
+    return shade(tex, co, ci, g9=g9)
 
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
 )
 def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
-                 width: int, height: int, tile_h: int, tile_w: int):
+                 width: int, height: int, tile_h: int, tile_w: int,
+                 g9=None):
     """All tiles under ONE compiled program (lax.scan over tile origins):
     keeps the per-tile whole-batch early exits while paying dispatch
     overhead once (measured ~3 ms per dispatch through the axon tunnel —
@@ -752,7 +919,7 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
     def body(_, yx):
         img = _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
-            width, height, tile_h, tile_w, yx[0], yx[1],
+            width, height, tile_h, tile_w, yx[0], yx[1], g9=g9,
         )
         return 0, img
 
@@ -773,12 +940,22 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     raymarch loops exit when *all* rays in a tile converge, and depth is
     spatially coherent, so small tiles exit much earlier — measured 2-5x
     over whole-frame.  band_cols defaults to 100 when tiling.
+
+    When `phi` is the raw level set and the grid fits the single-row
+    gradient window (gradient_fits_phi9), a PackedPhi9 gradient-tap
+    texture is built alongside so every surface normal costs one row
+    gather instead of four (bit-identical image).
     """
-    tex = phi if isinstance(phi, (PackedPhi, PackedPhi8)) else PackedPhi(phi)
+    if isinstance(phi, (PackedPhi, PackedPhi8)):
+        tex, g9 = phi, None
+    else:
+        tex = PackedPhi(phi)
+        g9 = PackedPhi9(phi) if gradient_fits_phi9(phi.shape) else None
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, height, width, jnp.float32(0), jnp.float32(0),
+            g9=g9,
         )
     tile_h = band_rows if 0 < band_rows <= height else height
     tile_w = band_cols if 0 < band_cols <= width else (
@@ -786,5 +963,5 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     )
     return _render_scan(
         tex, cam_pos, cam_right, cam_up, cam_fwd,
-        width, height, tile_h, tile_w,
+        width, height, tile_h, tile_w, g9=g9,
     )

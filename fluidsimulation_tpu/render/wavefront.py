@@ -434,11 +434,12 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
 # -- bounce-level orchestration (wavefront twins of raytrace's) --------------
 
 def _expand_bounce_wf(texq, md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
-                      spr=_DEF_SPR, reuse=_DEF_REUSE):
+                      spr=_DEF_SPR, reuse=_DEF_REUSE, g9=None):
     """Wavefront twin of raytrace._expand_bounce (identical dense math,
     the march routed through the pool).  ``texq`` feeds the pool (texture
     or legacy closure); ``md`` is the plain closure for the dense
-    gradient taps."""
+    gradient taps; ``g9`` the optional single-gather gradient texture
+    (raytrace.PackedPhi9, bit-identical taps)."""
     co = co + 0.001 * ci
     half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
     _, max_t, _, _ = rt.intersect_aabb(co, ci, -half, half)
@@ -450,7 +451,11 @@ def _expand_bounce_wf(texq, md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
     ipoint = p_hit - 0.5
     missed = (t_hit >= max_t) | (max_t >= rt.LARGE)
 
-    norm = rt._norm(rt.compute_gradient(md, p_hit), eps=1e-20)
+    if g9 is not None:
+        grad = rt.compute_gradient9(g9, p_hit)
+    else:
+        grad = rt.compute_gradient(md, p_hit)
+    norm = rt._norm(grad, eps=1e-20)
     from_inside = rt._dot(norm, ci) > 0.0
     n1 = jnp.where(from_inside, 1.333, 1.000)
     n2 = jnp.where(from_inside, 1.000, 1.333)
@@ -465,19 +470,20 @@ def _expand_bounce_wf(texq, md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
 
 
 def trace_water2_wf(texq, md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR,
-                    reuse=_DEF_REUSE):
+                    reuse=_DEF_REUSE, g9=None):
     """Wavefront twin of raytrace.trace_water2."""
     shape = co.shape
 
     ip1, d_a, w_a, d_b, w_b = _expand_bounce_wf(
-        texq, md, inv_m0, co, ci, pool=pool, spr=spr, reuse=reuse
+        texq, md, inv_m0, co, ci, pool=pool, spr=spr, reuse=reuse, g9=g9
     )
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
     ip2, d_c, w_c, d_d, w_d = _expand_bounce_wf(
-        texq, md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr, reuse=reuse
+        texq, md, inv_m0, co2, d2, w=w2, pool=pool, spr=spr, reuse=reuse,
+        g9=g9,
     )
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
@@ -489,7 +495,8 @@ def trace_water2_wf(texq, md, inv_m0, co, ci, pool=_DEF_POOL, spr=_DEF_SPR,
     return (cols * w3[..., None]).sum(axis=0)
 
 
-def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR, reuse=_DEF_REUSE):
+def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR, reuse=_DEF_REUSE,
+             g9=None):
     """Wavefront twin of raytrace.shade (PS main, Render.fx:518-578).
 
     A PackedPhiSkip texture (render/interior.py) additionally enables the
@@ -513,6 +520,7 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR, reuse=_DEF_REUSE):
     hit = h < rt.LARGE
     col_water = trace_water2_wf(
         tex, md, inv_m0, prim_co, prim_ci, pool=pool, spr=spr, reuse=reuse,
+        g9=g9,
     )
     col_sky = rt.sample_environment(ci_f)
     col = jnp.where(hit[..., None], col_water, col_sky)
@@ -527,9 +535,12 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR, reuse=_DEF_REUSE):
 def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
                width: int, height: int, pool: int, spr: int,
                build: str = "none", reuse: int = _DEF_REUSE):
+    g9 = None
     if build != "none":  # tex is the raw phi; pack it inside the program
         from . import interior as intr
 
+        if rt.gradient_fits_phi9(tex.shape):
+            g9 = rt.PackedPhi9(tex)
         tex = intr.PackedPhiSkip(tex) if build == "skip" else rt.PackedPhi(tex)
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
@@ -538,7 +549,7 @@ def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
     v = 1.0 - 2.0 * fy
     ci = rt._norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade_wf(tex, co, ci, pool=pool, spr=spr, reuse=reuse)
+    return shade_wf(tex, co, ci, pool=pool, spr=spr, reuse=reuse, g9=g9)
 
 
 def render_wavefront(phi, cam_pos, cam_right, cam_up, cam_fwd,
