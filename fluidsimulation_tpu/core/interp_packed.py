@@ -40,6 +40,32 @@ def _nseg(n_normal: int) -> int:
     return (n_normal - 2) // _S + 1
 
 
+# Giant-batch chunking for the _vec entry points: the row gathers
+# materialize an (N, lanes) temp, and XLA additionally inserts a full
+# layout-converting copy of it — at the 128³ ppc2 config (8M particles)
+# the fat pair gather alone is 2 × 7.6 GB and the step OOMs HBM.  lax.map
+# over fixed-size chunks bounds the temp; chunking a big gather is
+# measured ~free (PERF.md cost model).  Results match the unchunked
+# program to ~1 ulp (the scan body fuses/fma-contracts slightly
+# differently; same per-particle arithmetic, zero-padded tail rows are
+# sliced off).  N ≤ _CHUNK (every demo/bench config at ≤2M particles)
+# compiles to the exact unchunked program, so the carried-cache
+# bit-equality guarantees are unaffected there.
+_CHUNK = 2 * 1024 * 1024
+
+
+def _map_chunks(fn, flat):
+    n = flat.shape[0]
+    if n <= _CHUNK:
+        return fn(flat)
+    nc = -(-n // _CHUNK)
+    fp = jnp.pad(flat, ((0, nc * _CHUNK - n), (0, 0)))
+    out = jax.lax.map(fn, fp.reshape(nc, _CHUNK, flat.shape[1]))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((nc * _CHUNK,) + a.shape[2:])[:n], out
+    )
+
+
 def _u_stride(pu, dims) -> int:
     """U tables exist in two row layouts: the plain pack's key stride is
     ny-1 (iJ in [0, ny-2]); the Pallas pair pack (core/pallas_pairpack.py)
@@ -191,10 +217,14 @@ def interp_mac3_packed(pu, pv, pw, dims, pi, pj, pk):
 def interp_mac3_packed_vec(pu, pv, pw, dims, pos_cells):
     shape = pos_cells.shape[:-1]
     flat = pos_cells.reshape(-1, 3)
-    uval, vval, wval = interp_mac3_packed(
-        pu, pv, pw, dims, flat[:, 0], flat[:, 1], flat[:, 2]
-    )
-    return jnp.stack([uval, vval, wval], axis=-1).reshape(*shape, 3)
+
+    def one(f):
+        uval, vval, wval = interp_mac3_packed(
+            pu, pv, pw, dims, f[:, 0], f[:, 1], f[:, 2]
+        )
+        return jnp.stack([uval, vval, wval], axis=-1)
+
+    return _map_chunks(one, flat).reshape(*shape, 3)
 
 
 # -- fat-row pair interpolation (two grid sets, one gather) ------------------
@@ -310,12 +340,15 @@ def interp_mac3_packed_pair(pu2, pv2, pw2, dims, pi, pj, pk):
 def interp_mac3_packed_pair_vec(pu2, pv2, pw2, dims, pos_cells):
     shape = pos_cells.shape[:-1]
     flat = pos_cells.reshape(-1, 3)
-    a, b = interp_mac3_packed_pair(
-        pu2, pv2, pw2, dims, flat[:, 0], flat[:, 1], flat[:, 2]
-    )
-    va = jnp.stack(a, axis=-1).reshape(*shape, 3)
-    vb = jnp.stack(b, axis=-1).reshape(*shape, 3)
-    return va, vb
+
+    def one(f):
+        a, b = interp_mac3_packed_pair(
+            pu2, pv2, pw2, dims, f[:, 0], f[:, 1], f[:, 2]
+        )
+        return jnp.stack(a, axis=-1), jnp.stack(b, axis=-1)
+
+    va, vb = _map_chunks(one, flat)
+    return va.reshape(*shape, 3), vb.reshape(*shape, 3)
 
 
 def interp_mac3_packed_half(pu2, pv2, pw2, dims, pi, pj, pk, half: int = 1):
@@ -356,7 +389,11 @@ def interp_mac3_packed_half(pu2, pv2, pw2, dims, pi, pj, pk, half: int = 1):
 def interp_mac3_packed_half_vec(pu2, pv2, pw2, dims, pos_cells, half: int = 1):
     shape = pos_cells.shape[:-1]
     flat = pos_cells.reshape(-1, 3)
-    vals = interp_mac3_packed_half(
-        pu2, pv2, pw2, dims, flat[:, 0], flat[:, 1], flat[:, 2], half=half
-    )
-    return jnp.stack(vals, axis=-1).reshape(*shape, 3)
+
+    def one(f):
+        vals = interp_mac3_packed_half(
+            pu2, pv2, pw2, dims, f[:, 0], f[:, 1], f[:, 2], half=half
+        )
+        return jnp.stack(vals, axis=-1)
+
+    return _map_chunks(one, flat).reshape(*shape, 3)

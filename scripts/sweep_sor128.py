@@ -7,7 +7,11 @@ post-projection divergence (max + L2, FluidSim3::PrintDivergence
 semantics) and the volume proxies (particle y-mean, fluid-cell count).
 
 Usage: python scripts/sweep_sor128.py [grid] [steps] [iters,iters,...]
-       [ppc]
+       [ppc] [dt]
+
+The dt arg exists because the resolution sweep is really a CFL sweep: the
+reference's demo dt (1/60 s at 64^3) doubles in cell units at 128^3; a
+volume-holding 128^3 run wants dt scaled with the grid (1/120).
 """
 
 import sys
@@ -36,7 +40,7 @@ def main():
     iters = ([int(x) for x in sys.argv[3].split(",")]
              if len(sys.argv) > 3 else [100, 200, 400])
     ppc = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    dt = 1.0 / 60.0
+    dt = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0 / 60.0
 
     for it in iters:
         cfg = SimConfig(

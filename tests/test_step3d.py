@@ -195,3 +195,37 @@ def test_interp_packed_pair_bit_identical():
     wb = interp_mac3_packed_vec(*pb, (nx, ny, nz), jnp.asarray(q))
     np.testing.assert_array_equal(np.asarray(va), np.asarray(wa))
     np.testing.assert_array_equal(np.asarray(vb), np.asarray(wb))
+
+
+def test_interp_packed_chunked_bit_identical(monkeypatch):
+    """Giant-batch chunking (interp_packed._map_chunks, used for the 8M-
+    particle ppc2 config where the unchunked fat gather OOMs HBM) must
+    match the unchunked program to ~1 ulp (the lax.map body fma-contracts
+    slightly differently), including the padded tail."""
+    import fluidsimulation_tpu.core.interp_packed as ip
+
+    rng = np.random.default_rng(7)
+    nx = ny = nz = 16
+    ga = [rng.normal(size=s).astype(np.float32)
+          for s in ((nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1))]
+    gb = [rng.normal(size=s).astype(np.float32)
+          for s in ((nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1))]
+    # 2500 queries with chunk=1024 -> 3 chunks incl. a padded tail.
+    q = jnp.asarray(
+        rng.uniform(-0.2, 1.2, size=(2500, 3)).astype(np.float32) * nx)
+    pa = ip.pack_mac3(*ga)
+    fat = ip.pack_mac3_pair(tuple(ga), tuple(gb))
+
+    ref_v = ip.interp_mac3_packed_vec(*pa, (nx, ny, nz), q)
+    ref_a, ref_b = ip.interp_mac3_packed_pair_vec(*fat, (nx, ny, nz), q)
+    ref_h = ip.interp_mac3_packed_half_vec(*fat, (nx, ny, nz), q, half=1)
+
+    monkeypatch.setattr(ip, "_CHUNK", 1024)
+    chk_v = ip.interp_mac3_packed_vec(*pa, (nx, ny, nz), q)
+    chk_a, chk_b = ip.interp_mac3_packed_pair_vec(*fat, (nx, ny, nz), q)
+    chk_h = ip.interp_mac3_packed_half_vec(*fat, (nx, ny, nz), q, half=1)
+
+    for r, c in ((ref_v, chk_v), (ref_a, chk_a), (ref_b, chk_b),
+                 (ref_h, chk_h)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(c),
+                                   rtol=0, atol=1e-6)
