@@ -66,7 +66,7 @@ def main():
     co, right, up, fwd = OrbitCamera().frame(800, 600)
 
     def draw(phi):
-        img = render(phi, co, right, up, fwd, 800, 600, band_rows=64)
+        img = render(phi, co, right, up, fwd, 800, 600, band_rows=100)
         jax.block_until_ready(img)
         jax.device_get(img.ravel()[0])
         return img

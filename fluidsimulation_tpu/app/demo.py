@@ -187,7 +187,11 @@ def main(argv=None):
 
                 img = render_wavefront(s.phi, co, right, up, fwd, w, h)
             else:
-                img = render(s.phi, co, right, up, fwd, w, h, band_rows=64)
+                # Measured tile optimum is grid-dependent (diag_render_
+                # tiles3.py): 100x100 at 128^3 (zero-padding tiling),
+                # 64x100 at 64^3.
+                br = 100 if max(s.phi.shape) >= 128 else 64
+                img = render(s.phi, co, right, up, fwd, w, h, band_rows=br)
             out = np.asarray(img)
             if k > 1:
                 out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)

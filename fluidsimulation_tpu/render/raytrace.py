@@ -939,7 +939,10 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     compiled program (the packed phi texture is built once per frame): the
     raymarch loops exit when *all* rays in a tile converge, and depth is
     spatially coherent, so small tiles exit much earlier — measured 2-5x
-    over whole-frame.  band_cols defaults to 100 when tiling.
+    over whole-frame.  band_cols defaults to 100 when tiling.  Round-3
+    tile sweep with the Phi9 gradient (scripts/diag_render_tiles3.py,
+    128^3 settled): 100x100 = 127 ms beats 64x100 = 137 (bit-exact);
+    callers at 800x600 should pass band_rows=100.
 
     When `phi` is the raw level set and the grid fits the single-row
     gradient window (gradient_fits_phi9), a PackedPhi9 gradient-tap
