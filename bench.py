@@ -61,12 +61,13 @@ def main():
     # Render throughput at the same 128^3 phi (the reference's 30 fps number
     # includes DrawScene, FluidSimDemo.cpp:175-208): one 800x600 frame.
     from fluidsimulation_tpu.render.camera import OrbitCamera
-    from fluidsimulation_tpu.render.raytrace import render
+    from fluidsimulation_tpu.render.raytrace import render_frame
 
     co, right, up, fwd = OrbitCamera().frame(800, 600)
 
     def draw(phi):
-        img = render(phi, co, right, up, fwd, 800, 600, band_rows=100)
+        img = render_frame(phi, co, right, up, fwd,
+                           width=800, height=600, band_rows=100)
         jax.block_until_ready(img)
         jax.device_get(img.ravel()[0])
         return img

@@ -33,7 +33,7 @@ import numpy as np
 from ..core.config import SimConfig
 from ..core.state import init_state
 from ..render.camera import OrbitCamera
-from ..render.raytrace import render
+from ..render.raytrace import render_frame
 from ..solver.step3d import clamp_dt, step_jit
 from ..utils.checkpoint import save_state
 from ..utils.metrics import Meter, check_state
@@ -124,6 +124,13 @@ def main(argv=None):
         "drift (docs/PARITY.md)",
     )
     ap.add_argument(
+        "--bounces", type=int, default=2, choices=(0, 1, 2),
+        help="water-bounce recursion depth: 2 = the reference PS main "
+        "(traceWater2, exact default); 1/0 = the reference's own lower "
+        "tiers (traceWater1/0, Render.fx:442-515) — measured 144 / 26 ms "
+        "vs 318 ms at 128^3 on a mid-collapse scene (docs/PERF.md)",
+    )
+    ap.add_argument(
         "--two-d", action="store_true",
         help="run the 2D solver (FluidSim / FluidSimDemoOld equivalent), "
         "rendering particle splats over a checkerboard",
@@ -191,7 +198,9 @@ def main(argv=None):
                 # tiles3.py): 100x100 at 128^3 (zero-padding tiling),
                 # 64x100 at 64^3.
                 br = 100 if max(s.phi.shape) >= 128 else 64
-                img = render(s.phi, co, right, up, fwd, w, h, band_rows=br)
+                img = render_frame(s.phi, co, right, up, fwd,
+                                   width=w, height=h, band_rows=br,
+                                   bounces=args.bounces)
             out = np.asarray(img)
             if k > 1:
                 out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)

@@ -29,33 +29,58 @@ from ..core.config import SimConfig
 from .supertable import F
 
 
-def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8):
+def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
+                                preshift: bool = True):
     """slots: (sx, sy, Ks, 8, sz) supercell table.  Returns (accs, amts):
     two lists of three (nx, ny, nz) cell-indexed accumulator grids.
 
-    ty must be 8 (output block sublane constraint); tx=1 keeps the 7 halo
+    ty must be 8 (output block sublane constraint); tx=1 keeps the halo
     input blocks + in-kernel temps within the ~16 MB VMEM budget at Ks=8,
-    nz=128."""
+    nz=128.
+
+    preshift=True passes the three z-shifted windows of every field as 21
+    SEPARATE 128-lane-aligned inputs so the kernel does NO lane slicing.
+    The 7-input form slices ``[1+dz : 1+dz+nz]`` off a 130-lane block in
+    the kernel, and Mosaic's relayout of those misaligned lane slices is
+    what actually bound the kernel: a null probe with the identical
+    Element-halo DMA but no compute runs 7.7 ms where the 7-input kernel
+    runs 44 ms at 128^3 (scripts/diag_p2g_dma.py) — the 3x input-DMA cost
+    of the pre-shifted copies is far below the ~36 ms of in-kernel lane
+    relayouts they remove (same pathology and fix as core/pallas_pack.py)."""
     assert F == (2, 2, 1)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     sx, sy = nx // 2, ny // 2
     Ks = slots.shape[2]
     assert sx % tx == 0 and sy % ty == 0
 
-    fields = [
+    padded = [
         jnp.pad(slots[:, :, :, i, :], ((1, 1), (1, 1), (0, 0), (1, 1)))
         for i in range(7)
     ]  # each (sx+2, sy+2, Ks, nz+2)
+    if preshift:
+        # 21 z-aligned windows: dz-major so kernel group di*7:(di+1)*7 is
+        # the 7 fields at z-shift dz = di-1.  XLA pays three cheap strided
+        # copies; the kernel never touches a misaligned lane offset.
+        fields = [
+            p[:, :, :, 1 + dz : 1 + dz + nz]
+            for dz in (-1, 0, 1)
+            for p in padded
+        ]  # each (sx+2, sy+2, Ks, nz)
+    else:
+        fields = padded
+
+    n_in = 21 if preshift else 7
 
     def kernel(*refs):
-        ins = refs[:7]
-        outs = refs[7:13]
+        ins = refs[:n_in]
+        outs = refs[n_in : n_in + 6]
         i = pl.program_id(0)
         j = pl.program_id(1)
         sx0 = jnp.asarray(i * tx, jnp.float32)
         sy0 = jnp.asarray(j * ty, jnp.float32)
 
-        px, py, pz, vx, vy, vz, pres = [r[:] for r in ins]
+        if not preshift:
+            px, py, pz, vx, vy, vz, pres = [r[:] for r in ins]
 
         # Slot-relative coordinates, hoisted OUT of the window loops: with
         # gxh the slot's OWN supercell x (halo extent), qx = px - 2*gxh is
@@ -88,14 +113,22 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
         def hat(r):
             return jnp.maximum(0.0, 1.0 - jnp.abs(r))
 
-        for dz in (-1, 0, 1):
-            zs_ = slice(1 + dz, 1 + dz + nz)
-            # One lane relayout per field per dz (7*3 total).
-            pxz = px[:, :, :, zs_]
-            pyz = py[:, :, :, zs_]
-            pzz = pz[:, :, :, zs_]
-            velz = (vx[:, :, :, zs_], vy[:, :, :, zs_], vz[:, :, :, zs_])
-            presz = pres[:, :, :, zs_]
+        for di, dz in enumerate((-1, 0, 1)):
+            if preshift:
+                # Pre-shifted z windows arrive as aligned inputs: no lane
+                # slicing, no relayouts.
+                pxz, pyz, pzz, vxz, vyz, vzz, presz = [
+                    r[:] for r in ins[di * 7 : (di + 1) * 7]
+                ]
+                velz = (vxz, vyz, vzz)
+            else:
+                zs_ = slice(1 + dz, 1 + dz + nz)
+                # One lane relayout per field per dz (7*3 total).
+                pxz = px[:, :, :, zs_]
+                pyz = py[:, :, :, zs_]
+                pzz = pz[:, :, :, zs_]
+                velz = (vx[:, :, :, zs_], vy[:, :, :, zs_], vz[:, :, :, zs_])
+                presz = pres[:, :, :, zs_]
 
             qz = pzz - fz
             zn = hat(qz)
@@ -180,8 +213,9 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
                 outs[2 * a][p] = acc[p][a]
                 outs[2 * a + 1][p] = amt[p][a]
 
+    zdim = nz if preshift else nz + 2
     in_spec = pl.BlockSpec(
-        (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(Ks), pl.Element(nz + 2)),
+        (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(Ks), pl.Element(zdim)),
         lambda i, j: (i * tx, j * ty, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -195,7 +229,7 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8)
             jax.ShapeDtypeStruct((4, sx, sy, nz), jnp.float32)
             for _ in range(6)
         ),
-        in_specs=[in_spec] * 7,
+        in_specs=[in_spec] * n_in,
         out_specs=(out_spec,) * 6,
         interpret=jax.default_backend() != "tpu",
     )(*fields)

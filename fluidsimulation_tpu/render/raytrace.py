@@ -591,8 +591,13 @@ def trace_glass(co, ci):
 
 # -- water intersection ------------------------------------------------------
 
-def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
-    """Render.fx:358-424.  Returns (p_shifted, t).
+def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
+    """Render.fx:358-424.  Returns (p_shifted, t), or with ``stats=True``
+    (a trace-time flag for the md-transaction floor analysis in
+    docs/PERF.md; default path is unchanged) (p_shifted, t, rows) where
+    rows is the total number of md() row gathers this call issued
+    (iterations x full batch width — converged lanes still ride every
+    gather, which is exactly what the floor model needs to count).
 
     ``md`` is the distance-field sampler (map_dist flavor); the fixed
     worst-case loop counts (64 / 128 / 48) are preserved but run under
@@ -640,7 +645,7 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
 
     # Lanes that are "inside" never update their done flag meaningfully;
     # mark them done so they don't keep the loop alive.
-    _, p_o, t_o, _ = jax.lax.while_loop(
+    i_out, p_o, t_o, _ = jax.lax.while_loop(
         out_cond,
         out_body,
         (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside | junk),
@@ -699,7 +704,7 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
             outside | junk,  # outside/junk lanes are inert here
             jnp.zeros(max_t.shape, bool),
         )
-        _, p_i, t_i, i_exit, exited, boxed = jax.lax.while_loop(
+        i_fwd, p_i, t_i, i_exit, exited, boxed = jax.lax.while_loop(
             fwd_cond, fwd_body, init
         )
 
@@ -722,23 +727,27 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None):
                 done = done2
             return k + _UNROLL, p, t, done
 
-        _, p_i, t_i, _ = jax.lax.while_loop(
+        k_bwd, p_i, t_i, _ = jax.lax.while_loop(
             bwd_cond, bwd_body, (jnp.int32(0), p_i, t_i, jnp.zeros(max_t.shape, bool))
         )
         # Box-exit early return: point exactly at the box edge.
         p_i = jnp.where(boxed[..., None], p0 + max_t[..., None] * ci, p_i)
         t_i = jnp.where(boxed, max_t, t_i)
-        return p_i, t_i
+        return p_i, t_i, i_fwd + k_bwd
 
-    p_i, t_i = jax.lax.cond(
+    p_i, t_i, in_iters = jax.lax.cond(
         jnp.any(~outside & ~junk),
         run_inside,
-        lambda _: (p0, jnp.zeros_like(max_t)),
+        lambda _: (p0, jnp.zeros_like(max_t), jnp.int32(0)),
         operand=None,
     )
 
     p = jnp.where(outside[..., None], p_o, p_i)
     t = jnp.where(outside, t_o, t_i)
+    if stats:
+        n = jnp.int32(max_t.size)
+        rows = (1 + i_out + in_iters) * n  # initial + outside + inside/bwd
+        return p, t, rows
     return p, t
 
 
@@ -766,7 +775,7 @@ def trace_water0(co, ci):
     return prim_alpha[..., None] * sample_environment(prim_ci) + refl_sum
 
 
-def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None):
+def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
@@ -781,7 +790,11 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None):
     half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
     _, max_t, _, _ = intersect_aabb(co, ci, -half, half)
     dead = None if w is None else (w <= 0.0)
-    p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead)
+    if stats:
+        p_hit, t_hit, md_rows = intersect_water(
+            md, inv_m0, co, ci, max_t, dead=dead, stats=True)
+    else:
+        p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead)
     ipoint = p_hit - 0.5
     # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
     # an epsilon-escaped bounce child: forward it as a miss (the reference's
@@ -807,10 +820,14 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None):
     w_a = jnp.where(missed, 1.0, fres)
     d_b = jnp.where(missed[..., None], ci, trans)
     w_b = jnp.where(missed, 0.0, 1.0 - fres)
+    if stats:
+        g9_rows = jnp.int32(max_t.size if g9 is not None else 0)
+        grad_md_rows = jnp.int32(0 if g9 is not None else 4 * max_t.size)
+        return ipoint, d_a, w_a, d_b, w_b, (md_rows + grad_md_rows, g9_rows)
     return ipoint, d_a, w_a, d_b, w_b
 
 
-def trace_water2(md, inv_m0, co, ci, g9=None):
+def trace_water2(md, inv_m0, co, ci, g9=None, stats=False):
     """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
     Render.fx:442-515), restructured as *batched* levels: each bounce level
     concatenates its child rays and traces them in one call (4 leaf rays per
@@ -823,13 +840,14 @@ def trace_water2(md, inv_m0, co, ci, g9=None):
     shifting the ray origin by the 0.001 epsilon step once more."""
     shape = co.shape
 
-    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9)
+    r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats)
+    ip1, d_a, w_a, d_b, w_b = r1[:5]
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
-    ip2, d_c, w_c, d_d, w_d = _expand_bounce(md, inv_m0, co2, d2, w=w2,
-                                             g9=g9)
+    r2 = _expand_bounce(md, inv_m0, co2, d2, w=w2, g9=g9, stats=stats)
+    ip2, d_c, w_c, d_d, w_d = r2[:5]
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
     w3 = jnp.concatenate([w2 * w_c, w2 * w_d], axis=0)
@@ -837,7 +855,10 @@ def trace_water2(md, inv_m0, co, ci, g9=None):
     cols = trace_water0(co3, d3)  # (4*N, ..., 3)
     cols = cols.reshape(4, *shape)
     w3 = w3.reshape(4, *shape[:-1])
-    return (cols * w3[..., None]).sum(axis=0)
+    out = (cols * w3[..., None]).sum(axis=0)
+    if stats:
+        return out, (r1[5][0] + r2[5][0], r1[5][1] + r2[5][1])
+    return out
 
 
 def trace_water1(md, inv_m0, co, ci, g9=None):
@@ -853,14 +874,18 @@ def trace_water1(md, inv_m0, co, ci, g9=None):
 
 # -- top-level pixel shader --------------------------------------------------
 
-def shade(phi, co, ci, g9=None):
+def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False):
     """PS main (Render.fx:518-578) for ray batches.
 
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
     frame, render many tiles — the pack costs ~ms at 128^3 and must not be
     paid per tile); all map() sampling goes through the packed texture.
     ``g9``: optional pre-built PackedPhi9 gradient-tap texture (one row
-    gather per surface normal instead of four)."""
+    gather per surface normal instead of four).
+    ``bounces``: water-bounce recursion depth — 2 is the reference's PS
+    main (traceWater2); 1/0 select the reference's lower tiers
+    (traceWater1/traceWater0, Render.fx:442-515) as cheaper quality
+    levels."""
     if isinstance(phi, PackedPhi8):
         tex = phi
         md = lambda p: map_dist_packed8(tex, p)
@@ -873,10 +898,23 @@ def shade(phi, co, ci, g9=None):
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
-    col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9)
+    st = None
+    if bounces >= 2:
+        col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9,
+                                 stats=stats)
+        if stats:
+            col_water, st = col_water
+    elif bounces == 1:
+        col_water = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9)
+    else:
+        col_water = trace_water0(prim_co, prim_ci)
     col_sky = sample_environment(ci)
     col = jnp.where(hit[..., None], col_water, col_sky)
     out = jnp.abs(col) ** 2.2
+    if stats:
+        # (image, (md_rows, g9_rows)) -- diag-only shape; image identical.
+        img = jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
+        return img, (st if st is not None else (jnp.int32(0), jnp.int32(0)))
     # The reference feeds unset primary rays (largeNum sentinels) through the
     # water tracer when every glass bounce is TIR (Render.fx:341-344 never
     # fires) and displays the resulting f32 garbage on those rare pixels.  A
@@ -885,11 +923,11 @@ def shade(phi, co, ci, g9=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w", "bounces")
 )
 def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int, y0, x0,
-                 g9=None):
+                 g9=None, bounces: int = 2):
     """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
     px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
     py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
@@ -898,15 +936,15 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
     v = 1.0 - 2.0 * fy
     ci = _norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade(tex, co, ci, g9=g9)
+    return shade(tex, co, ci, g9=g9, bounces=bounces)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w")
+    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w", "bounces")
 )
 def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int,
-                 g9=None):
+                 g9=None, bounces: int = 2):
     """All tiles under ONE compiled program (lax.scan over tile origins):
     keeps the per-tile whole-batch early exits while paying dispatch
     overhead once (measured ~3 ms per dispatch through the axon tunnel —
@@ -920,6 +958,7 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
         img = _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, tile_h, tile_w, yx[0], yx[1], g9=g9,
+            bounces=bounces,
         )
         return 0, img
 
@@ -929,7 +968,7 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
 
 
 def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
-           band_rows: int = 0, band_cols: int = 0):
+           band_rows: int = 0, band_cols: int = 0, bounces: int = 2):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
@@ -958,7 +997,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, height, width, jnp.float32(0), jnp.float32(0),
-            g9=g9,
+            g9=g9, bounces=bounces,
         )
     tile_h = band_rows if 0 < band_rows <= height else height
     tile_w = band_cols if 0 < band_cols <= width else (
@@ -966,5 +1005,26 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     )
     return _render_scan(
         tex, cam_pos, cam_right, cam_up, cam_fwd,
-        width, height, tile_h, tile_w, g9=g9,
+        width, height, tile_h, tile_w, g9=g9, bounces=bounces,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "band_rows", "band_cols", "bounces"),
+)
+def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
+                 width: int, height: int,
+                 band_rows: int = 0, band_cols: int = 0, bounces: int = 2):
+    """One fully-jitted frame from the RAW level set: the texture builds
+    (PackedPhi + the Phi9 gradient rows) compile into the same program as
+    the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
+    ops + the scan.  Measured win is modest but real: 319.9 vs 330.5 ms
+    same-process on the bench scene (scripts/diag_render_bench_scene.py,
+    128^3 step-21 dam break) — the eager build's dispatches mostly overlap
+    device work, like the step's (docs/PERF.md "dispatch overhead").
+    Frame-loop callers (bench.py, app/demo.py) use this entry; ``render``
+    stays for callers that pre-build a texture once and render many frames
+    from it."""
+    return render(phi, cam_pos, cam_right, cam_up, cam_fwd, width, height,
+                  band_rows=band_rows, band_cols=band_cols, bounces=bounces)
