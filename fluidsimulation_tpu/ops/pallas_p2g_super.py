@@ -30,7 +30,7 @@ from .supertable import F
 
 
 def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
-                                preshift: bool = True):
+                                preshift: bool = True, batched: bool = False):
     """slots: (sx, sy, Ks, 8, sz) supercell table.  Returns (accs, amts):
     two lists of three (nx, ny, nz) cell-indexed accumulator grids.
 
@@ -46,7 +46,19 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     Element-halo DMA but no compute runs 7.7 ms where the 7-input kernel
     runs 44 ms at 128^3 (scripts/diag_p2g_dma.py) — the 3x input-DMA cost
     of the pre-shifted copies is far below the ~36 ms of in-kernel lane
-    relayouts they remove (same pathology and fix as core/pallas_pack.py)."""
+    relayouts they remove (same pathology and fix as core/pallas_pack.py).
+
+    batched=True folds the 16 (parity x window-offset) combos into ONE
+    stacked tensor per operation (weights, Ks-reduction, accumulation all
+    act on (16, tx, ty, Ks, nz)): the unbatched form issues ~240 jnp ops
+    per program on 8-vreg tensors and is bound by Mosaic's per-op setup
+    overhead, not vector work (the null-DMA probe runs 7.7 ms vs the
+    kernel's 44 — scripts/diag_p2g_dma.py).  Accumulation order is kept
+    identical (per-parity window terms added in the original (ox, oy)
+    sequence via per-slot adds of the (4, tx, ty, nz) term stack), so
+    results match the unbatched kernel bit-for-bit except that the
+    always-zero "dead" window terms are now added as exact +-0 instead of
+    skipped (sign-of-zero only)."""
     assert F == (2, 2, 1)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     sx, sy = nx // 2, ny // 2
@@ -101,14 +113,18 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
             jnp.int32, (1, 1, 1, nz), 3
         ).astype(jnp.float32)
 
-        acc = [
-            [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
-            for _ in range(4)
-        ]
-        amt = [
-            [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
-            for _ in range(4)
-        ]
+        if batched:
+            ACC = [jnp.zeros((4, tx, ty, nz), jnp.float32) for _ in range(3)]
+            AMT = [jnp.zeros((4, tx, ty, nz), jnp.float32) for _ in range(3)]
+        else:
+            acc = [
+                [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+                for _ in range(4)
+            ]
+            amt = [
+                [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+                for _ in range(4)
+            ]
 
         def hat(r):
             return jnp.maximum(0.0, 1.0 - jnp.abs(r))
@@ -137,6 +153,90 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
             qy = pyz - 2.0 * gyh
             dcx0 = jnp.floor(pxz + 0.5) - 2.0 * gxh
             dcy0 = jnp.floor(pyz + 0.5) - 2.0 * gyh
+
+            if batched:
+                XC = [(parx, ox) for parx in range(2)
+                      for ox in ((-1, 0) if parx == 0 else (0, 1))]
+                YC = [(pary, oy) for pary in range(2)
+                      for oy in ((-1, 0) if pary == 0 else (0, 1))]
+                # Stacked x families (4, tx, ty+2, Ks, nz): same arithmetic
+                # as the unbatched xw dict, one op per expression.
+                QXs = jnp.stack([qx[1 + ox : 1 + ox + tx] for _, ox in XC])
+                DXs = jnp.stack(
+                    [dcx0[1 + ox : 1 + ox + tx] for _, ox in XC])
+                # CX[i] = 2*ox - parx over XC = [-2, 0, -1, 1]: built from
+                # an in-kernel iota (Pallas rejects closed-over constants).
+                fam_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (4, 1, 1, 1, 1), 0)
+                CX = (2 * (fam_i % 2) + fam_i // 2 - 2).astype(jnp.float32)
+                RX = QXs + CX
+                DCX = DXs + CX
+                Xn = jnp.where((DCX >= -1.0) & (DCX <= 1.0), hat(RX), 0.0)
+                Xs_ = jnp.where((DCX >= 0.0) & (DCX <= 1.0),
+                                hat(RX - 0.5), 0.0)
+                # Stacked y families (4, tx+2, ty, Ks, nz), presence folded.
+                QYs = jnp.stack(
+                    [qy[:, 1 + oy : 1 + oy + ty] for _, oy in YC])
+                DYs = jnp.stack(
+                    [dcy0[:, 1 + oy : 1 + oy + ty] for _, oy in YC])
+                PZs = jnp.stack(
+                    [presz[:, 1 + oy : 1 + oy + ty] for _, oy in YC])
+                CY = CX  # YC has the identical (par, offset) structure
+                RY = QYs + CY
+                DCY = DYs + CY
+                Yn = jnp.where((DCY >= -1.0) & (DCY <= 1.0),
+                               hat(RY), 0.0) * PZs
+                Ys_ = jnp.where((DCY >= 0.0) & (DCY <= 1.0),
+                                hat(RY - 0.5), 0.0) * PZs
+
+                # Combo index c = p*4 + s with p = parx*2+pary the parity
+                # and s = oxi*2+oyi the window slot, matching the unbatched
+                # loop order exactly.
+                combos = []
+                for parx in range(2):
+                    for pary in range(2):
+                        oxs = (-1, 0) if parx == 0 else (0, 1)
+                        oys = (-1, 0) if pary == 0 else (0, 1)
+                        for oxi, ox in enumerate(oxs):
+                            for oyi, oy in enumerate(oys):
+                                combos.append((
+                                    parx * 2 + oxi, pary * 2 + oyi,
+                                    slice(1 + ox, 1 + ox + tx),
+                                    slice(1 + oy, 1 + oy + ty),
+                                ))
+
+                def cstack(f):
+                    return jnp.stack([f(*c) for c in combos])
+
+                WNX = cstack(lambda xi, yi, A, B: Xn[xi][:, B])
+                WSX = cstack(lambda xi, yi, A, B: Xs_[xi][:, B])
+                WNY = cstack(lambda xi, yi, A, B: Yn[yi][A])
+                WSY = cstack(lambda xi, yi, A, B: Ys_[yi][A])
+                ZNC = cstack(lambda xi, yi, A, B: zn[A, B])
+                VUC = cstack(lambda xi, yi, A, B: velz[0][A, B])
+                VVC = cstack(lambda xi, yi, A, B: velz[1][A, B])
+
+                wu = WNY * WSX * ZNC
+                TU = (wu * VUC).sum(3).reshape(4, 4, tx, ty, nz)
+                AU = wu.sum(3).reshape(4, 4, tx, ty, nz)
+                wv = WNX * WSY * ZNC
+                TV = (wv * VVC).sum(3).reshape(4, 4, tx, ty, nz)
+                AV = wv.sum(3).reshape(4, 4, tx, ty, nz)
+                for t in range(4):
+                    ACC[0] = ACC[0] + TU[:, t]
+                    AMT[0] = AMT[0] + AU[:, t]
+                    ACC[1] = ACC[1] + TV[:, t]
+                    AMT[1] = AMT[1] + AV[:, t]
+                if dz in (0, 1):
+                    ZSC = cstack(lambda xi, yi, A, B: zs_w[A, B])
+                    VWC = cstack(lambda xi, yi, A, B: velz[2][A, B])
+                    ww = WNY * WNX * ZSC
+                    TW = (ww * VWC).sum(3).reshape(4, 4, tx, ty, nz)
+                    AW = ww.sum(3).reshape(4, 4, tx, ty, nz)
+                    for t in range(4):
+                        ACC[2] = ACC[2] + TW[:, t]
+                        AMT[2] = AMT[2] + AW[:, t]
+                continue
 
             # Per (parity, offset) 1-D family tensors on the halo extent;
             # window terms below take free outer-dim slices of these.
@@ -208,10 +308,15 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                     wgt * velz[2][A, B]
                                 ).sum(2)
                                 amt[p][2] = amt[p][2] + wgt.sum(2)
-        for p in range(4):
+        if batched:
             for a in range(3):
-                outs[2 * a][p] = acc[p][a]
-                outs[2 * a + 1][p] = amt[p][a]
+                outs[2 * a][:] = ACC[a]
+                outs[2 * a + 1][:] = AMT[a]
+        else:
+            for p in range(4):
+                for a in range(3):
+                    outs[2 * a][p] = acc[p][a]
+                    outs[2 * a + 1][p] = amt[p][a]
 
     zdim = nz if preshift else nz + 2
     in_spec = pl.BlockSpec(

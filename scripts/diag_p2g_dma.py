@@ -151,24 +151,31 @@ def ab_preshift():
     fetch(table.slots)
     print("backend", jax.default_backend(), "grid", grid, flush=True)
 
-    f_old = jax.jit(lambda t: p2g_accumulate_pallas_super(cfg, t.slots, preshift=False))
-    f_new = jax.jit(lambda t: p2g_accumulate_pallas_super(cfg, t.slots, preshift=True))
-    a0, m0 = f_old(table)
+    kernel_only = len(sys.argv) > 3 and sys.argv[3] == "kernel"
+    f_new = jax.jit(lambda t: p2g_accumulate_pallas_super(
+        cfg, t.slots, preshift=True, batched=False))
+    f_bat = jax.jit(lambda t: p2g_accumulate_pallas_super(
+        cfg, t.slots, preshift=True, batched=True))
+    print("compiling unbatched...", flush=True)
     a1, m1 = f_new(table)
-    import numpy as np
-    worst = max(
-        float(jnp.max(jnp.abs(x - y))) for x, y in zip(a0 + m0, a1 + m1)
+    fetch(a1[0])
+    print("compiling batched...", flush=True)
+    a2, m2 = f_bat(table)
+    worst2 = max(
+        float(jnp.max(jnp.abs(x - y))) for x, y in zip(a1 + m1, a2 + m2)
     )
-    print(f"max |old-new| over 6 grids: {worst:.3e}", flush=True)
-    timeit("super-P2G preshift=False (old)", f_old, table)
-    timeit("super-P2G preshift=True  (new)", f_new, table)
+    print(f"max |unbatched-batched| over 6 grids: {worst2:.3e}", flush=True)
+    timeit("super-P2G preshift (unbatched)", f_new, table)
+    timeit("super-P2G preshift+batched", f_bat, table)
+    if kernel_only:
+        return
 
     from fluidsimulation_tpu.solver.step3d import step_jit
     dt = 1.0 / 60.0
     s2 = step_jit(s, dt, cfg)
     fetch(s2)
     import time as _t
-    for name in ("fused step (preshift now default)",):
+    for name in ("fused step (batched default)",):
         best = float("inf")
         for _ in range(2):
             t0 = _t.perf_counter()
