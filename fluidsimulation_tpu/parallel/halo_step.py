@@ -314,13 +314,17 @@ def _full_grids(u_ci, v_ci, w_ci):
 
 # -- the sharded step ---------------------------------------------------------
 
-def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
+def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None,
+                   with_diagnostics: bool = False):
     """Build the jitted explicit-collective step(state, dt) over `mesh`.
 
     capacity = per-shard particle-slab capacity (slab + 1-cell halo); the
     default 4x average holds the dam break's 2x-concentrated start with 2x
-    slosh headroom.  Overfull slabs drop the highest-index particles from
-    the local table (counted into CellTable.n_overflow).
+    slosh headroom.  Overfull slabs DROP the highest-index particles from
+    the local slab; with_diagnostics=True makes the step return
+    (state, n_dropped) where n_dropped is the max per-shard count of
+    particles lost to the capacity cap this step (0 in a healthy run) —
+    monitor it in soaks instead of discovering a mass leak downstream.
     """
     n_dev = int(mesh.devices.size)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
@@ -359,6 +363,15 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
         pc_all = pos_all * m
         cellx = jnp.floor(pc_all[:, 0] + 0.5).astype(jnp.int32)
         mine = (cellx >= x0 - 1) & (cellx <= x0 + slabx)
+        # Slab-capacity guard (VERDICT r2): particles beyond the static
+        # capacity C would silently vanish from this shard's table;
+        # count them (max over shards, since halo overlap double-counts)
+        # so callers can detect undercapacity instead of debugging a
+        # mass leak.  The reference has no analogue (its bins are exact);
+        # this is the price of the fixed-capacity slab exchange.
+        n_dropped = jax.lax.pmax(
+            jnp.maximum(mine.sum() - C, 0).astype(jnp.int32), AXIS
+        )
         (idxs,) = jnp.nonzero(mine, size=C, fill_value=N)
         valid = idxs < N
         safe = jnp.minimum(idxs, N - 1)
@@ -454,7 +467,7 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
 
         phi_out = blur_phi(_halo_x(phi_s, 0.0, 0.0))[1:-1]
 
-        return pos2, vel2, u, v, w, phi_out
+        return pos2, vel2, u, v, w, phi_out, n_dropped
 
     spec_p = P(AXIS, None)
     spec_g = P(AXIS, None, None)
@@ -462,18 +475,18 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
         local_step,
         mesh=mesh,
         in_specs=(spec_p, spec_p, spec_g, spec_g, spec_g, spec_g, P()),
-        out_specs=(spec_p, spec_p, spec_g, spec_g, spec_g, spec_g),
+        out_specs=(spec_p, spec_p, spec_g, spec_g, spec_g, spec_g, P()),
     )
 
-    def step_fn(state: SimState, dt) -> SimState:
+    def step_fn(state: SimState, dt):
         u_ci = state.u[1:]
         v_ci = state.v[:, 1:]
         w_ci = state.w[:, :, 1:]
-        pos, vel, u_ci, v_ci, w_ci, phi = local(
+        pos, vel, u_ci, v_ci, w_ci, phi, n_dropped = local(
             state.pos, state.vel, u_ci, v_ci, w_ci, state.phi,
             jnp.float32(dt),
         )
-        return SimState(
+        out = SimState(
             pos=pos,
             vel=vel,
             u=jnp.pad(u_ci, ((1, 0), (0, 0), (0, 0))),
@@ -481,9 +494,11 @@ def make_halo_step(cfg: SimConfig, mesh: Mesh, capacity: int | None = None):
             w=jnp.pad(w_ci, ((0, 0), (0, 0), (1, 0))),
             phi=phi,
         )
+        return (out, n_dropped.max()) if with_diagnostics else out
 
     state_sh = _state_shardings_x(mesh)
-    return jax.jit(step_fn, in_shardings=(state_sh, None), out_shardings=state_sh)
+    out_sh = (state_sh, None) if with_diagnostics else state_sh
+    return jax.jit(step_fn, in_shardings=(state_sh, None), out_shardings=out_sh)
 
 
 def _state_shardings_x(mesh: Mesh) -> SimState:

@@ -72,6 +72,33 @@ def test_halo_step_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(got.phi), np.asarray(want.phi), atol=1e-4)
 
 
+def test_halo_step_drop_counter(mesh):
+    """with_diagnostics=True reports particles lost to the static slab
+    capacity: 0 at the default 4x capacity, >0 when the capacity is forced
+    below the dam break's initial 2x x-concentration (the dam occupies
+    half the x extent, so early shards hold ~2x the average)."""
+    from fluidsimulation_tpu.parallel.halo_step import make_halo_step, shard_state_x
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = shard_state_x(init_state(cfg), mesh)
+
+    ok_step = make_halo_step(cfg, mesh, with_diagnostics=True)
+    out, dropped = ok_step(state, 0.01)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.pos),
+        np.asarray(make_halo_step(cfg, mesh)(state, 0.01).pos),
+        atol=0,
+    )
+
+    n = cfg.num_particles
+    tight = ((n // 8) + 127) // 128 * 128  # 1x average < the 2x dam peak
+    _, dropped = make_halo_step(
+        cfg, mesh, capacity=tight, with_diagnostics=True
+    )(state, 0.01)
+    assert int(dropped) > 0
+
+
 def test_shard_map_halo_sor_matches_single(mesh):
     """Explicit ppermute-halo SOR == single-device SOR (SURVEY.md §5.8)."""
     import jax.numpy as jnp
