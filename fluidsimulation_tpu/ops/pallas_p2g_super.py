@@ -29,8 +29,19 @@ from ..core.config import SimConfig
 from .supertable import F
 
 
+def _batched_default() -> bool:
+    """Step-level A/B toggle for the batched kernel form (same pattern as
+    FST_NO_PALLAS): unset -> the measured-best default; FST_P2G_BATCHED=0/1
+    forces a form within one process so the A/B is same-machine-state."""
+    import os
+
+    v = os.environ.get("FST_P2G_BATCHED", "")
+    return v == "1" if v in ("0", "1") else False
+
+
 def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
-                                preshift: bool = True, batched: bool = False):
+                                preshift: bool = True,
+                                batched: bool | None = None):
     """slots: (sx, sy, Ks, 8, sz) supercell table.  Returns (accs, amts):
     two lists of three (nx, ny, nz) cell-indexed accumulator grids.
 
@@ -59,6 +70,8 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     results match the unbatched kernel bit-for-bit except that the
     always-zero "dead" window terms are now added as exact +-0 instead of
     skipped (sign-of-zero only)."""
+    if batched is None:
+        batched = _batched_default()
     assert F == (2, 2, 1)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     sx, sy = nx // 2, ny // 2

@@ -170,21 +170,31 @@ def ab_preshift():
     if kernel_only:
         return
 
-    from fluidsimulation_tpu.solver.step3d import step_jit
-    dt = 1.0 / 60.0
-    s2 = step_jit(s, dt, cfg)
-    fetch(s2)
+    # Step-level A/B: fresh jit per form (the env toggle resolves at trace
+    # time), warm state so both time the identical workload.
+    import os
     import time as _t
-    for name in ("fused step (batched default)",):
+
+    from fluidsimulation_tpu.solver.step3d import step
+
+    dt = 1.0 / 60.0
+    forms = {}
+    for name, flag in (("unbatched", "0"), ("batched", "1")):
+        os.environ["FST_P2G_BATCHED"] = flag
+        f = jax.jit(lambda st, d: step(st, d, cfg, fast=True))
+        s2 = f(s, dt)
+        fetch(s2)
+        forms[name] = (f, s2)
+    for name, (f, s2) in forms.items():
         best = float("inf")
         for _ in range(2):
             t0 = _t.perf_counter()
             ss = s2
             for _ in range(10):
-                ss = step_jit(ss, dt, cfg)
+                ss = f(ss, dt)
             fetch(ss)
             best = min(best, (_t.perf_counter() - t0) / 10)
-        print(f"{name:44s} {best*1e3:9.2f} ms", flush=True)
+        print(f"fused step ({name}):  {best*1e3:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "ab":
