@@ -66,10 +66,13 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     overhead, not vector work (the null-DMA probe runs 7.7 ms vs the
     kernel's 44 — scripts/diag_p2g_dma.py).  Accumulation order is kept
     identical (per-parity window terms added in the original (ox, oy)
-    sequence via per-slot adds of the (4, tx, ty, nz) term stack), so
-    results match the unbatched kernel bit-for-bit except that the
-    always-zero "dead" window terms are now added as exact +-0 instead of
-    skipped (sign-of-zero only)."""
+    sequence via per-slot adds of the (4, tx, ty, nz) term stack; the
+    always-zero "dead" window terms are added as exact +-0 instead of
+    skipped), and products share the unbatched grouping — but the
+    Ks-axis reduction runs over a 5-D stacked tensor, whose reduce tree
+    the backend may shape differently than the 4-D unbatched one, so
+    agreement is ~1 ulp (measured max 1.2e-7 abs on O(1) amounts,
+    tests/test_pallas_p2g_super.py), not bit-exact."""
     if batched is None:
         batched = _batched_default()
     assert F == (2, 2, 1)

@@ -55,3 +55,27 @@ def test_pallas_super_p2g_overflow_interpret():
     assert int(table.n_overflow) > 0
     got = pps.p2g_from_super_pallas(CFG, table, pos, vel)
     _check(got, direct.transfer_to_grid(CFG, pos, vel))
+
+
+def test_pallas_super_p2g_batched_multi_ytile():
+    """Both kernel forms on an anisotropic grid whose supercell y extent
+    spans TWO ty=8 tiles (exercises the j>0 / sy0-offset arithmetic the
+    cube fixture never reaches).  Agreement is ~1 ulp, not bit-exact: the
+    batched form's Ks reduction runs over a 5-D stacked tensor whose
+    reduce tree the backend shapes differently (see kernel docstring)."""
+    cfg = SimConfig(nx=16, ny=32, nz=16, cells_per_meter=16.0,
+                    particles_per_cell_axis=1)
+    pos, _ = dam_break_particles(cfg)
+    u, v, w = noise_grids(cfg, seed=3)
+    m = np.array([16, 32, 16], np.float32)
+    p = np.asarray(pos)
+    vel = jnp.asarray(np.stack(
+        solver3d.interp_mac(u, v, w, m[0] * p[:, 0], m[1] * p[:, 1],
+                            m[2] * p[:, 2]), axis=-1).astype(np.float32))
+    table = st.build_super_table(cfg, pos, vel)
+    a0, m0 = pps.p2g_accumulate_pallas_super(cfg, table.slots, batched=False)
+    a1, m1 = pps.p2g_accumulate_pallas_super(cfg, table.slots, batched=True)
+    for x, y in zip(a0 + m0, a1 + m1):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=3e-7, atol=3e-7
+        )
