@@ -41,7 +41,8 @@ def _batched_default() -> bool:
 
 def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                 preshift: bool = True,
-                                batched: bool | None = None):
+                                batched: bool | None = None,
+                                combo_chunk: int = 16):
     """slots: (sx, sy, Ks, 8, sz) supercell table.  Returns (accs, amts):
     two lists of three (nx, ny, nz) cell-indexed accumulator grids.
 
@@ -72,7 +73,15 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     Ks-axis reduction runs over a 5-D stacked tensor, whose reduce tree
     the backend may shape differently than the 4-D unbatched one, so
     agreement is ~1 ulp (measured max 1.2e-7 abs on O(1) amounts,
-    tests/test_pallas_p2g_super.py), not bit-exact."""
+    tests/test_pallas_p2g_super.py), not bit-exact.
+
+    combo_chunk (16 | 8 | 4) processes the 16 combos in whole-parity
+    chunks: the VMEM fallback if the full 16-combo stacks blow the 16 MB
+    scoped limit on real Mosaic (estimated live set at chunk 16 is
+    ~10 MB input blocks + ~9 MB stacked temps — marginal).  Chunks hold
+    whole parities and each output slot still receives its 4 window
+    terms in the same s order, so chunking only re-shapes reduce trees
+    (same ~1 ulp class as batching itself)."""
     if batched is None:
         batched = _batched_default()
     assert F == (2, 2, 1)
@@ -130,8 +139,13 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
         ).astype(jnp.float32)
 
         if batched:
-            ACC = [jnp.zeros((4, tx, ty, nz), jnp.float32) for _ in range(3)]
-            AMT = [jnp.zeros((4, tx, ty, nz), jnp.float32) for _ in range(3)]
+            assert combo_chunk in (4, 8, 16)
+            NG = 16 // combo_chunk
+            PG = combo_chunk // 4  # parities per chunk
+            ACC = [[jnp.zeros((PG, tx, ty, nz), jnp.float32)
+                    for _ in range(NG)] for _ in range(3)]
+            AMT = [[jnp.zeros((PG, tx, ty, nz), jnp.float32)
+                    for _ in range(NG)] for _ in range(3)]
         else:
             acc = [
                 [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
@@ -221,37 +235,40 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                     slice(1 + oy, 1 + oy + ty),
                                 ))
 
-                def cstack(f):
-                    return jnp.stack([f(*c) for c in combos])
+                for g in range(NG):
+                    sub = combos[g * combo_chunk : (g + 1) * combo_chunk]
 
-                WNX = cstack(lambda xi, yi, A, B: Xn[xi][:, B])
-                WSX = cstack(lambda xi, yi, A, B: Xs_[xi][:, B])
-                WNY = cstack(lambda xi, yi, A, B: Yn[yi][A])
-                WSY = cstack(lambda xi, yi, A, B: Ys_[yi][A])
-                ZNC = cstack(lambda xi, yi, A, B: zn[A, B])
-                VUC = cstack(lambda xi, yi, A, B: velz[0][A, B])
-                VVC = cstack(lambda xi, yi, A, B: velz[1][A, B])
+                    def cstack(f):
+                        return jnp.stack([f(*c) for c in sub])
 
-                wu = WNY * WSX * ZNC
-                TU = (wu * VUC).sum(3).reshape(4, 4, tx, ty, nz)
-                AU = wu.sum(3).reshape(4, 4, tx, ty, nz)
-                wv = WNX * WSY * ZNC
-                TV = (wv * VVC).sum(3).reshape(4, 4, tx, ty, nz)
-                AV = wv.sum(3).reshape(4, 4, tx, ty, nz)
-                for t in range(4):
-                    ACC[0] = ACC[0] + TU[:, t]
-                    AMT[0] = AMT[0] + AU[:, t]
-                    ACC[1] = ACC[1] + TV[:, t]
-                    AMT[1] = AMT[1] + AV[:, t]
-                if dz in (0, 1):
-                    ZSC = cstack(lambda xi, yi, A, B: zs_w[A, B])
-                    VWC = cstack(lambda xi, yi, A, B: velz[2][A, B])
-                    ww = WNY * WNX * ZSC
-                    TW = (ww * VWC).sum(3).reshape(4, 4, tx, ty, nz)
-                    AW = ww.sum(3).reshape(4, 4, tx, ty, nz)
+                    WNX = cstack(lambda xi, yi, A, B: Xn[xi][:, B])
+                    WSX = cstack(lambda xi, yi, A, B: Xs_[xi][:, B])
+                    WNY = cstack(lambda xi, yi, A, B: Yn[yi][A])
+                    WSY = cstack(lambda xi, yi, A, B: Ys_[yi][A])
+                    ZNC = cstack(lambda xi, yi, A, B: zn[A, B])
+                    VUC = cstack(lambda xi, yi, A, B: velz[0][A, B])
+                    VVC = cstack(lambda xi, yi, A, B: velz[1][A, B])
+
+                    wu = WNY * WSX * ZNC
+                    TU = (wu * VUC).sum(3).reshape(PG, 4, tx, ty, nz)
+                    AU = wu.sum(3).reshape(PG, 4, tx, ty, nz)
+                    wv = WNX * WSY * ZNC
+                    TV = (wv * VVC).sum(3).reshape(PG, 4, tx, ty, nz)
+                    AV = wv.sum(3).reshape(PG, 4, tx, ty, nz)
                     for t in range(4):
-                        ACC[2] = ACC[2] + TW[:, t]
-                        AMT[2] = AMT[2] + AW[:, t]
+                        ACC[0][g] = ACC[0][g] + TU[:, t]
+                        AMT[0][g] = AMT[0][g] + AU[:, t]
+                        ACC[1][g] = ACC[1][g] + TV[:, t]
+                        AMT[1][g] = AMT[1][g] + AV[:, t]
+                    if dz in (0, 1):
+                        ZSC = cstack(lambda xi, yi, A, B: zs_w[A, B])
+                        VWC = cstack(lambda xi, yi, A, B: velz[2][A, B])
+                        ww = WNY * WNX * ZSC
+                        TW = (ww * VWC).sum(3).reshape(PG, 4, tx, ty, nz)
+                        AW = ww.sum(3).reshape(PG, 4, tx, ty, nz)
+                        for t in range(4):
+                            ACC[2][g] = ACC[2][g] + TW[:, t]
+                            AMT[2][g] = AMT[2][g] + AW[:, t]
                 continue
 
             # Per (parity, offset) 1-D family tensors on the halo extent;
@@ -326,8 +343,14 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                 amt[p][2] = amt[p][2] + wgt.sum(2)
         if batched:
             for a in range(3):
-                outs[2 * a][:] = ACC[a]
-                outs[2 * a + 1][:] = AMT[a]
+                outs[2 * a][:] = (
+                    ACC[a][0] if NG == 1
+                    else jnp.concatenate(ACC[a], axis=0)
+                )
+                outs[2 * a + 1][:] = (
+                    AMT[a][0] if NG == 1
+                    else jnp.concatenate(AMT[a], axis=0)
+                )
         else:
             for p in range(4):
                 for a in range(3):

@@ -16,6 +16,7 @@ Probe kernels with the SAME grid/BlockSpecs but trivial compute:
 Usage (TPU): python scripts/diag_p2g_dma.py [grid]
 """
 
+import functools
 import sys
 import time
 
@@ -154,19 +155,27 @@ def ab_preshift():
     kernel_only = len(sys.argv) > 3 and sys.argv[3] == "kernel"
     f_new = jax.jit(lambda t: p2g_accumulate_pallas_super(
         cfg, t.slots, preshift=True, batched=False))
-    f_bat = jax.jit(lambda t: p2g_accumulate_pallas_super(
-        cfg, t.slots, preshift=True, batched=True))
     print("compiling unbatched...", flush=True)
     a1, m1 = f_new(table)
     fetch(a1[0])
-    print("compiling batched...", flush=True)
-    a2, m2 = f_bat(table)
-    worst2 = max(
-        float(jnp.max(jnp.abs(x - y))) for x, y in zip(a1 + m1, a2 + m2)
-    )
-    print(f"max |unbatched-batched| over 6 grids: {worst2:.3e}", flush=True)
     timeit("super-P2G preshift (unbatched)", f_new, table)
-    timeit("super-P2G preshift+batched", f_bat, table)
+    for ch in (16, 8, 4):
+        f_bat = jax.jit(functools.partial(
+            lambda t, c: p2g_accumulate_pallas_super(
+                cfg, t.slots, preshift=True, batched=True, combo_chunk=c),
+            c=ch))
+        print(f"compiling batched chunk={ch}...", flush=True)
+        try:
+            a2, m2 = f_bat(table)
+            worst2 = max(
+                float(jnp.max(jnp.abs(x - y)))
+                for x, y in zip(a1 + m1, a2 + m2)
+            )
+            print(f"max |unbatched-batched c{ch}|: {worst2:.3e}", flush=True)
+            timeit(f"super-P2G batched chunk={ch}", f_bat, table)
+        except Exception as e:  # Mosaic VMEM / compile-helper failures
+            print(f"batched chunk={ch} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
     if kernel_only:
         return
 

@@ -79,3 +79,11 @@ def test_pallas_super_p2g_batched_multi_ytile():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=3e-7, atol=3e-7
         )
+    # The VMEM-fallback chunked forms accumulate in the identical per-slot
+    # order; interpret mode reproduces chunk 16 exactly.
+    for ch in (8, 4):
+        ac, mc = pps.p2g_accumulate_pallas_super(
+            cfg, table.slots, batched=True, combo_chunk=ch
+        )
+        for x, y in zip(a1 + m1, ac + mc):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
