@@ -29,20 +29,27 @@ from ..core.config import SimConfig
 from .supertable import F
 
 
-def _batched_default() -> bool:
+def _batched_default() -> tuple[bool, int]:
     """Step-level A/B toggle for the batched kernel form (same pattern as
-    FST_NO_PALLAS): unset -> the measured-best default; FST_P2G_BATCHED=0/1
-    forces a form within one process so the A/B is same-machine-state."""
+    FST_NO_PALLAS): unset -> the measured-best default; FST_P2G_BATCHED
+    forces a form within one process so the A/B is same-machine-state:
+    0 = unbatched, 1/16 = batched full, 8/4 = batched chunked."""
     import os
 
     v = os.environ.get("FST_P2G_BATCHED", "")
-    return v == "1" if v in ("0", "1") else False
+    if v == "0":
+        return False, 16
+    if v in ("1", "16"):
+        return True, 16
+    if v in ("8", "4"):
+        return True, int(v)
+    return False, 16
 
 
 def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                 preshift: bool = True,
                                 batched: bool | None = None,
-                                combo_chunk: int = 16):
+                                combo_chunk: int | None = None):
     """slots: (sx, sy, Ks, 8, sz) supercell table.  Returns (accs, amts):
     two lists of three (nx, ny, nz) cell-indexed accumulator grids.
 
@@ -82,8 +89,11 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     whole parities and each output slot still receives its 4 window
     terms in the same s order, so chunking only re-shapes reduce trees
     (same ~1 ulp class as batching itself)."""
+    env_batched, env_chunk = _batched_default()
     if batched is None:
-        batched = _batched_default()
+        batched = env_batched
+    if combo_chunk is None:
+        combo_chunk = env_chunk
     assert F == (2, 2, 1)
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     sx, sy = nx // 2, ny // 2

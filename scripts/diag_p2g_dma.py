@@ -188,12 +188,17 @@ def ab_preshift():
 
     dt = 1.0 / 60.0
     forms = {}
-    for name, flag in (("unbatched", "0"), ("batched", "1")):
+    for name, flag in (("unbatched", "0"), ("batched c16", "1"),
+                       ("batched c8", "8")):
         os.environ["FST_P2G_BATCHED"] = flag
         f = jax.jit(lambda st, d: step(st, d, cfg, fast=True))
-        s2 = f(s, dt)
-        fetch(s2)
-        forms[name] = (f, s2)
+        try:
+            s2 = f(s, dt)
+            fetch(s2)
+            forms[name] = (f, s2)
+        except Exception as e:
+            print(f"step form {name} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
     for name, (f, s2) in forms.items():
         best = float("inf")
         for _ in range(2):
