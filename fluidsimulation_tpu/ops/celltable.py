@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
-from .common import cell_of
+from .common import cell_of, rank_ge
 
 
 def default_k(cfg: SimConfig) -> int:
@@ -153,10 +153,11 @@ def _build_from_cells(
     cap = min(overflow_cap, n)
 
     def find_overflow(_):
-        # Overflow particles: sorted positions p with p - start(cell(p)) >= K
+        # Overflow particles: sorted positions p whose in-cell rank is >= K
         # (excluding the invalid tail); original indices are perm[p].
-        rank_s = idx - starts[jnp.minimum(lin_s, ncells)]
-        over = (rank_s >= K) & (lin_s < ncells)
+        # rank >= K iff the key K positions earlier is equal (sorted keys) —
+        # avoids the 1M-row starts[lin_s] gather (ops/common.rank_ge).
+        over = rank_ge(lin_s, K) & (lin_s < ncells)
         (pos_s,) = jnp.nonzero(over, size=cap, fill_value=n)
         return jnp.where(
             pos_s < n, perm[jnp.minimum(pos_s, n - 1)], n

@@ -25,6 +25,20 @@ def shift(a, axis: int, s: int, fill):
     return jnp.pad(a, pad, constant_values=fill)[tuple(sl)]
 
 
+def rank_ge(keys_sorted, k: int):
+    """For a SORTED key vector: mask of elements whose rank within their
+    run of equal keys is >= k.
+
+    In sorted order, element i has at least k predecessors with the same
+    key iff position i-k holds the same key — one shift + compare.  This
+    replaces the rank formulation ``i - starts[keys_sorted[i]]`` whose
+    starts-table lookup is a full-length row gather (~10 ms per 1M rows on
+    v5e: gathers cost ~9.7 ns/row regardless of index locality,
+    docs/PERF.md) with two elementwise passes (~0.1 ms)."""
+    mask = keys_sorted[k:] == keys_sorted[:-k]
+    return jnp.concatenate([jnp.zeros((k,), bool), mask])
+
+
 def cell_of(pos_cells):
     """Cell id of a particle: uint3(mM*p + 0.5) (gpCountParticles.hlsl:22).
 

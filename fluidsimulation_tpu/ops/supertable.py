@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
-from .common import cell_of
+from .common import cell_of, rank_ge
 from .celltable import _overflow_scatter, seed_overflow_correction  # noqa: F401
 
 F = (2, 2, 1)  # supercell factor per axis (z untouched: keep full lane rows)
@@ -123,8 +123,9 @@ def build_super_table(
     cap = min(overflow_cap, n)
 
     def find_overflow(_):
-        rank_s = idx - starts[jnp.minimum(lin_s, nsup)]
-        over = rank_s >= Ks
+        # rank >= Ks iff the key Ks positions earlier is equal (sorted
+        # keys) — avoids the 1M-row starts[lin_s] gather (common.rank_ge).
+        over = rank_ge(lin_s, Ks)
         (pos_s,) = jnp.nonzero(over, size=cap, fill_value=n)
         return jnp.where(pos_s < n, perm[jnp.minimum(pos_s, n - 1)], n).astype(
             jnp.int32
