@@ -28,12 +28,18 @@ from fluidsimulation_tpu.solver.step3d import pic_flip_alpha, step_jit
 
 
 def fetch(x):
+    # ONE scalar fetch (first array leaf): each device_get is a blocking
+    # tunnel round trip (~7-20 ms), so per-leaf fetches inflate small-op
+    # timings by leaves x RTT (measured: a 3-grid elementwise op "cost"
+    # 21.7 ms with 3-leaf fetches).  All outputs of one program complete
+    # together, so one scalar suffices.
     for leaf in jax.tree.leaves(x):
         if hasattr(leaf, "ravel"):
             jax.device_get(leaf.ravel()[0])
+            return
 
 
-def timeit(name, fn, *args, n=5):
+def timeit(name, fn, *args, n=10):
     out = fn(*args)
     fetch(out)
     t0 = time.perf_counter()
