@@ -591,13 +591,15 @@ def trace_glass(co, ci):
 
 # -- water intersection ------------------------------------------------------
 
-def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
+def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
+                    probe2=None, margin=None):
     """Render.fx:358-424.  Returns (p_shifted, t), or with ``stats=True``
     (a trace-time flag for the md-transaction floor analysis in
     docs/PERF.md; default path is unchanged) (p_shifted, t, rows) where
-    rows is the total number of md() row gathers this call issued
-    (iterations x full batch width — converged lanes still ride every
-    gather, which is exactly what the floor model needs to count).
+    rows is a (4,) int32 vector [total, init+outside, inside_fwd,
+    inside_bwd] of md() row gathers this call issued (iterations x full
+    batch width — converged lanes still ride every gather, which is
+    exactly what the floor model needs to count).
 
     ``md`` is the distance-field sampler (map_dist flavor); the fixed
     worst-case loop counts (64 / 128 / 48) are preserved but run under
@@ -609,6 +611,17 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
     ``dead`` marks rays whose result is discarded upstream (zero-weight
     bounce children, e.g. full-TIR fresnel): they are treated like junk
     lanes so they never stall the whole-batch early exits.
+
+    ``probe2``/``margin``: interior-skip probe for the inside FORWARD
+    march — ``probe2(p) -> (dt, d8)`` returns the distance sample plus the
+    per-cell L1 interior distance (render/interior.py, PackedPhiSkip).
+    At each speculative block boundary a still-marching lane jumps
+    k = floor((d8 - margin)/sqrt(3)) whole lattice steps — all provably
+    non-exit, non-box probe points, so the lane visits the same decision
+    sequence as the serial reference loop; on power-of-two grids every
+    t = n*step is exact in f32, so results are bit-identical.  margin is
+    TRACED: the same compiled program with margin=+inf IS the no-skip
+    march (how bit-equality is asserted, tests/test_interior.py).
     """
     p0 = co + 0.5
     initial = md(p0)
@@ -654,35 +667,69 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
     p_o = p0 + t_o[..., None] * ci
 
     # --- inside: 128-step fixed march + 48-i backward trace (Render.fx:391-423)
+    use_skip = probe2 is not None
+    if use_skip and margin is None:
+        from .interior import _SKIP_MARGIN
+
+        margin = jnp.float32(_SKIP_MARGIN)
+
     def run_inside(_):
         step = inv_m0
 
         def fwd_cond(c):
-            i, p, t, i_exit, exited, boxed = c
-            return (i < 128) & jnp.any(~(exited | boxed))
+            i, p, t, i_exit, exited, boxed, d8, nb = c
+            return jnp.any(~(exited | boxed) & (i < 128))
 
         def fwd_body(c):
-            i, p, t, i_exit, exited, boxed = c
+            i, p, t, i_exit, exited, boxed, d8, nb = c
+            # Interior skip at block boundary (render/interior.py): a lane
+            # that is still marching is one step past its last consumed
+            # probe, whose d8 certifies that the next
+            # k = floor((d8 - margin)/sqrt(3)) lattice points are interior
+            # (non-exit); the box clamp keeps every skipped point below
+            # max_t so no box event is missed.  k*step and t are exact
+            # multiples of step on power-of-two grids, so the skipped
+            # lanes land on bit-identical probe positions.  With
+            # margin = +inf, k == 0 and t/p are unchanged exactly.
+            if use_skip:
+                cont = ~(exited | boxed) & (i < 128)
+                k = jnp.floor(
+                    (d8 - margin) * jnp.float32(0.57735026)
+                ).astype(jnp.int32)
+                k = jnp.minimum(k, 127 - i)
+                k_box = jnp.floor((max_t - t) / step).astype(jnp.int32) - 2
+                k = jnp.maximum(jnp.minimum(k, k_box), 0)
+                k = jnp.where(cont, k, 0)
+                skipped = k > 0
+                i = i + k
+                t = jnp.where(skipped, t + k.astype(jnp.float32) * step, t)
+                p = jnp.where(
+                    skipped[..., None], p0 + t[..., None] * ci, p
+                )
             # Speculative probe block: the fixed march's probe positions
-            # are data-independent given the shared step count (active
-            # lanes all carry t = i*step accumulated through the same add
-            # chain), so _SPEC sub-steps' probes go out as ONE md() batch
-            # — merging what were serial small-batch gathers into a
-            # pipelined (_SPEC x batch)-row gather — and the dts are then
-            # applied serially in-register with the exact per-lane break
-            # semantics (a lane that exits mid-block simply ignores the
-            # remaining dts, which the serial form would also have probed
-            # and masked).  t/position chains reuse the serial
-            # expressions, so results are bit-identical.
+            # are data-independent given the per-lane step count (every
+            # t is an exact multiple of step), so _SPEC sub-steps' probes
+            # go out as ONE md() batch — merging what were serial
+            # small-batch gathers into a pipelined (_SPEC x batch)-row
+            # gather — and the dts are then applied serially in-register
+            # with the exact per-lane break semantics (a lane that exits
+            # mid-block simply ignores the remaining dts, which the
+            # serial form would also have probed and masked).  t/position
+            # chains reuse the serial expressions, so results are
+            # bit-identical.
             ps = [p]
             ts = [t]
             for j in range(1, _SPEC):
                 t_j = ts[-1] + step
                 ts.append(t_j)
                 ps.append(p0 + t_j[..., None] * ci)
-            dts = md(jnp.stack(ps, axis=0))  # (_SPEC, *batch)
+            pstack = jnp.stack(ps, axis=0)  # (_SPEC, *batch, 3)
+            if use_skip:
+                dts, d8s = probe2(pstack)
+            else:
+                dts = md(pstack)  # (_SPEC, *batch)
             for j in range(_SPEC):
-                active = ~(exited | boxed)
+                active = ~(exited | boxed) & (i + j < 128)
                 dt = dts[j]
                 t2 = ts[j] + step
                 exit_now = active & (dt >= 0.0)
@@ -692,19 +739,25 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
                 # On exit: t advances but p does not (reference break order).
                 t = jnp.where(active, t2, t)
                 p = jnp.where((active & ~exit_now)[..., None], p2, p)
+                if use_skip:
+                    d8 = jnp.where(
+                        active & ~exit_now & ~box_now, d8s[j], d8
+                    )
                 exited = exited | exit_now
                 boxed = boxed | box_now
-            return i + _SPEC, p, t, i_exit, exited, boxed
+            return i + _SPEC, p, t, i_exit, exited, boxed, d8, nb + 1
 
         init = (
-            jnp.int32(0),
+            jnp.zeros(max_t.shape, jnp.int32),
             p0,
             jnp.zeros_like(max_t),
             jnp.full(max_t.shape, 128, jnp.int32),
             outside | junk,  # outside/junk lanes are inert here
             jnp.zeros(max_t.shape, bool),
+            jnp.zeros_like(max_t),  # d8 = 0: no skip before the 1st probe
+            jnp.int32(0),
         )
-        i_fwd, p_i, t_i, i_exit, exited, boxed = jax.lax.while_loop(
+        _, p_i, t_i, i_exit, exited, boxed, _, n_fwd = jax.lax.while_loop(
             fwd_cond, fwd_body, init
         )
 
@@ -733,12 +786,12 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
         # Box-exit early return: point exactly at the box edge.
         p_i = jnp.where(boxed[..., None], p0 + max_t[..., None] * ci, p_i)
         t_i = jnp.where(boxed, max_t, t_i)
-        return p_i, t_i, i_fwd + k_bwd
+        return p_i, t_i, n_fwd * _SPEC, k_bwd
 
-    p_i, t_i, in_iters = jax.lax.cond(
+    p_i, t_i, fwd_iters, bwd_iters = jax.lax.cond(
         jnp.any(~outside & ~junk),
         run_inside,
-        lambda _: (p0, jnp.zeros_like(max_t), jnp.int32(0)),
+        lambda _: (p0, jnp.zeros_like(max_t), jnp.int32(0), jnp.int32(0)),
         operand=None,
     )
 
@@ -746,7 +799,10 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False):
     t = jnp.where(outside, t_o, t_i)
     if stats:
         n = jnp.int32(max_t.size)
-        rows = (1 + i_out + in_iters) * n  # initial + outside + inside/bwd
+        r_out = (1 + i_out) * n  # initial probe + outside sphere trace
+        r_fwd = fwd_iters * n
+        r_bwd = bwd_iters * n
+        rows = jnp.stack([r_out + r_fwd + r_bwd, r_out, r_fwd, r_bwd])
         return p, t, rows
     return p, t
 
@@ -775,7 +831,8 @@ def trace_water0(co, ci):
     return prim_alpha[..., None] * sample_environment(prim_ci) + refl_sum
 
 
-def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False):
+def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
+                   probe2=None, margin=None):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
@@ -792,9 +849,11 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False):
     dead = None if w is None else (w <= 0.0)
     if stats:
         p_hit, t_hit, md_rows = intersect_water(
-            md, inv_m0, co, ci, max_t, dead=dead, stats=True)
+            md, inv_m0, co, ci, max_t, dead=dead, stats=True, probe2=probe2,
+            margin=margin)
     else:
-        p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead)
+        p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead,
+                                       probe2=probe2, margin=margin)
     ipoint = p_hit - 0.5
     # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
     # an epsilon-escaped bounce child: forward it as a miss (the reference's
@@ -823,11 +882,13 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False):
     if stats:
         g9_rows = jnp.int32(max_t.size if g9 is not None else 0)
         grad_md_rows = jnp.int32(0 if g9 is not None else 4 * max_t.size)
-        return ipoint, d_a, w_a, d_b, w_b, (md_rows + grad_md_rows, g9_rows)
+        md_rows = md_rows.at[0].add(grad_md_rows)
+        return ipoint, d_a, w_a, d_b, w_b, (md_rows, g9_rows)
     return ipoint, d_a, w_a, d_b, w_b
 
 
-def trace_water2(md, inv_m0, co, ci, g9=None, stats=False):
+def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
+                 margin=None):
     """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
     Render.fx:442-515), restructured as *batched* levels: each bounce level
     concatenates its child rays and traces them in one call (4 leaf rays per
@@ -840,13 +901,15 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False):
     shifting the ray origin by the 0.001 epsilon step once more."""
     shape = co.shape
 
-    r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats)
+    r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats,
+                        probe2=probe2, margin=margin)
     ip1, d_a, w_a, d_b, w_b = r1[:5]
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
-    r2 = _expand_bounce(md, inv_m0, co2, d2, w=w2, g9=g9, stats=stats)
+    r2 = _expand_bounce(md, inv_m0, co2, d2, w=w2, g9=g9, stats=stats,
+                        probe2=probe2, margin=margin)
     ip2, d_c, w_c, d_d, w_d = r2[:5]
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
@@ -861,10 +924,11 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False):
     return out
 
 
-def trace_water1(md, inv_m0, co, ci, g9=None):
+def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None):
     """1-bounce variant (traceWater1), kept for API parity."""
     shape = co.shape
-    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9)
+    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9,
+                                             probe2=probe2)
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
@@ -874,7 +938,8 @@ def trace_water1(md, inv_m0, co, ci, g9=None):
 
 # -- top-level pixel shader --------------------------------------------------
 
-def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False):
+def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
+          skip_margin=None):
     """PS main (Render.fx:518-578) for ray batches.
 
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
@@ -882,6 +947,9 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False):
     paid per tile); all map() sampling goes through the packed texture.
     ``g9``: optional pre-built PackedPhi9 gradient-tap texture (one row
     gather per surface normal instead of four).
+    ``texs``: optional pre-built interior.PackedPhiSkip — enables the
+    provably-exact interior skip on the inside forward march
+    (bit-identical image on power-of-two grids; see intersect_water).
     ``bounces``: water-bounce recursion depth — 2 is the reference's PS
     main (traceWater2); 1/0 select the reference's lower tiers
     (traceWater1/traceWater0, Render.fx:442-515) as cheaper quality
@@ -895,17 +963,24 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False):
     else:
         tex = PackedPhi(phi)
         md = lambda p: map_dist_packed(tex, p)
+    probe2 = None
+    if texs is not None:
+        from .interior import probe_skip
+
+        probe2 = lambda p: probe_skip(texs, p)
     inv_m0 = 1.0 / jnp.float32(tex.dims[0])
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
     st = None
     if bounces >= 2:
         col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9,
-                                 stats=stats)
+                                 stats=stats, probe2=probe2,
+                                 margin=skip_margin)
         if stats:
             col_water, st = col_water
     elif bounces == 1:
-        col_water = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9)
+        col_water = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9,
+                                 probe2=probe2)
     else:
         col_water = trace_water0(prim_co, prim_ci)
     col_sky = sample_environment(ci)
@@ -914,7 +989,8 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False):
     if stats:
         # (image, (md_rows, g9_rows)) -- diag-only shape; image identical.
         img = jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
-        return img, (st if st is not None else (jnp.int32(0), jnp.int32(0)))
+        return img, (st if st is not None
+                     else (jnp.zeros(4, jnp.int32), jnp.int32(0)))
     # The reference feeds unset primary rays (largeNum sentinels) through the
     # water tracer when every glass bounce is TIR (Render.fx:341-344 never
     # fires) and displays the resulting f32 garbage on those rare pixels.  A
@@ -927,7 +1003,7 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False):
 )
 def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int, y0, x0,
-                 g9=None, bounces: int = 2):
+                 g9=None, bounces: int = 2, texs=None):
     """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
     px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
     py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
@@ -936,7 +1012,7 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
     v = 1.0 - 2.0 * fy
     ci = _norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade(tex, co, ci, g9=g9, bounces=bounces)
+    return shade(tex, co, ci, g9=g9, bounces=bounces, texs=texs)
 
 
 @functools.partial(
@@ -944,7 +1020,7 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
 )
 def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int,
-                 g9=None, bounces: int = 2):
+                 g9=None, bounces: int = 2, texs=None):
     """All tiles under ONE compiled program (lax.scan over tile origins):
     keeps the per-tile whole-batch early exits while paying dispatch
     overhead once (measured ~3 ms per dispatch through the axon tunnel —
@@ -958,7 +1034,7 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
         img = _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, tile_h, tile_w, yx[0], yx[1], g9=g9,
-            bounces=bounces,
+            bounces=bounces, texs=texs,
         )
         return 0, img
 
@@ -968,7 +1044,8 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
 
 
 def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
-           band_rows: int = 0, band_cols: int = 0, bounces: int = 2):
+           band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
+           interior_skip: bool = False):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
@@ -987,17 +1064,27 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     gradient window (gradient_fits_phi9), a PackedPhi9 gradient-tap
     texture is built alongside so every surface normal costs one row
     gather instead of four (bit-identical image).
+
+    ``interior_skip`` (raw-phi callers, power-of-two grids only) builds
+    the interior.PackedPhiSkip texture so the inside forward march jumps
+    provably-interior lattice steps — bit-identical image, fewer march
+    iterations (the win scales with water thickness; see docs/PERF.md).
     """
     if isinstance(phi, (PackedPhi, PackedPhi8)):
-        tex, g9 = phi, None
+        tex, g9, texs = phi, None, None
     else:
         tex = PackedPhi(phi)
         g9 = PackedPhi9(phi) if gradient_fits_phi9(phi.shape) else None
+        texs = None
+        if interior_skip and all((d & (d - 1)) == 0 for d in phi.shape):
+            from .interior import PackedPhiSkip
+
+            texs = PackedPhiSkip(phi)
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, height, width, jnp.float32(0), jnp.float32(0),
-            g9=g9, bounces=bounces,
+            g9=g9, bounces=bounces, texs=texs,
         )
     tile_h = band_rows if 0 < band_rows <= height else height
     tile_w = band_cols if 0 < band_cols <= width else (
@@ -1005,17 +1092,19 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     )
     return _render_scan(
         tex, cam_pos, cam_right, cam_up, cam_fwd,
-        width, height, tile_h, tile_w, g9=g9, bounces=bounces,
+        width, height, tile_h, tile_w, g9=g9, bounces=bounces, texs=texs,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "band_rows", "band_cols", "bounces"),
+    static_argnames=("width", "height", "band_rows", "band_cols", "bounces",
+                     "interior_skip"),
 )
 def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  width: int, height: int,
-                 band_rows: int = 0, band_cols: int = 0, bounces: int = 2):
+                 band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
+                 interior_skip: bool = False):
     """One fully-jitted frame from the RAW level set: the texture builds
     (PackedPhi + the Phi9 gradient rows) compile into the same program as
     the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
@@ -1027,4 +1116,5 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
     stays for callers that pre-build a texture once and render many frames
     from it."""
     return render(phi, cam_pos, cam_right, cam_up, cam_fwd, width, height,
-                  band_rows=band_rows, band_cols=band_cols, bounces=bounces)
+                  band_rows=band_rows, band_cols=band_cols, bounces=bounces,
+                  interior_skip=interior_skip)

@@ -103,7 +103,7 @@ def frame(tex, g9, co_c, right, up, fwd, split, stats=False):
         out = jnp.abs(col) ** 2.2
         return carry, jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    init = (jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32), jnp.int32(0))
     counts, tiles = jax.lax.scan(body, init, jnp.stack([ys, xs], axis=1))
     img = tiles.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4)
     return img.reshape(H, W, 3), counts
@@ -144,16 +144,15 @@ def main():
     print("bit-equal:", np.array_equal(np.asarray(img_c), np.asarray(img_s)),
           flush=True)
 
-    (img, counts) = frame(tex, g9, co, right, up, fwd, True, stats=True)
-    fetch(counts)
-    l1, l2, g9r = (int(np.asarray(c)) for c in counts)
-    print(f"md rows/frame: level1 {l1:,} level2 {l2:,} g9 rows {g9r:,}",
-          flush=True)
-    (img, counts) = frame(tex, g9, co, right, up, fwd, False, stats=True)
-    fetch(counts)
-    l1, l2, g9r = (int(np.asarray(c)) for c in counts)
-    print(f"md rows/frame (concat): level1 {l1:,} level2 {l2:,} g9 {g9r:,}",
-          flush=True)
+    for split, tag in ((True, ""), (False, " (concat)")):
+        (img, counts) = frame(tex, g9, co, right, up, fwd, split, stats=True)
+        fetch(counts)
+        l1, l2 = (np.asarray(c) for c in counts[:2])
+        g9r = int(np.asarray(counts[2]))
+        print(f"md rows/frame{tag}: level1 {l1[0]:,} (out {l1[1]:,} "
+              f"fwd {l1[2]:,} bwd {l1[3]:,}) level2 {l2[0]:,} "
+              f"(out {l2[1]:,} fwd {l2[2]:,} bwd {l2[3]:,}) g9 {g9r:,}",
+              flush=True)
 
 
 if __name__ == "__main__":

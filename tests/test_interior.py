@@ -128,6 +128,60 @@ def test_skip_march_bit_identical(phi32):
     # load-bearing property)
 
 
+def test_tiled_inside_march_skip_bit_identical(phi32):
+    """The TILED renderer's inside forward march with the interior skip
+    (intersect_water probe2/margin) is bit-identical to the plain march:
+    margin toggles the skip within one compiled program, and the
+    full-frame render with interior_skip=True equals the default."""
+    tex = intr.PackedPhiSkip(phi32)
+    texp = rt.PackedPhi(phi32)
+    probe2 = lambda p: intr.probe_skip(tex, p)
+    md = lambda p: rt.map_dist_packed(texp, p)
+    inv_m0 = 1.0 / jnp.float32(tex.dims[0])
+
+    rng = np.random.default_rng(4)
+    n = 512
+    co = np.empty((n, 3), np.float32)
+    co[: n // 2] = rng.uniform(-1.5, 1.5, (n // 2, 3))
+    co[n // 2:] = rng.uniform(-0.45, 0.45, (n - n // 2, 3))
+    co[n // 2:, 1] = rng.uniform(-0.49, -0.1, n - n // 2)
+    ci = rng.normal(size=(n, 3)).astype(np.float32)
+    ci /= np.linalg.norm(ci, axis=1, keepdims=True)
+    co, ci = jnp.asarray(co), jnp.asarray(ci)
+    half = jnp.array([0.5, 0.5, 0.5], jnp.float32)
+    _, max_t, _, _ = rt.intersect_aabb(co, ci, -half, half)
+
+    @jax.jit
+    def run(margin):
+        return rt.intersect_water(md, inv_m0, co, ci, max_t,
+                                  probe2=probe2, margin=margin)
+
+    p_off, t_off = run(jnp.float32(1e9))
+    p_on, t_on = run(jnp.float32(intr._SKIP_MARGIN))
+    np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))
+    np.testing.assert_array_equal(np.asarray(p_off), np.asarray(p_on))
+
+    # And the no-probe2 default path agrees bit-for-bit with the
+    # margin=+inf skip program (same decision points, exact t chain).
+    @jax.jit
+    def run_plain():
+        return rt.intersect_water(md, inv_m0, co, ci, max_t)
+
+    p_pl, t_pl = run_plain()
+    np.testing.assert_array_equal(np.asarray(t_pl), np.asarray(t_off))
+    np.testing.assert_array_equal(np.asarray(p_pl), np.asarray(p_off))
+
+    cam = OrbitCamera()
+    co_c, right, up, fwd = cam.frame(64, 48)
+    a = np.asarray(rt.render_frame(phi32, co_c, right, up, fwd,
+                                   width=64, height=48, band_rows=24,
+                                   band_cols=32))
+    b = np.asarray(rt.render_frame(phi32, co_c, right, up, fwd,
+                                   width=64, height=48, band_rows=24,
+                                   band_cols=32, interior_skip=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_render_wavefront_skip_matches_noskip(phi32):
     cam = OrbitCamera()
     co, right, up, fwd = cam.frame(64, 48)
