@@ -46,6 +46,20 @@ def _batched_default() -> tuple[bool, int]:
     return False, 16
 
 
+def super_p2g_fits(cfg: SimConfig, ks: int | None = None) -> bool:
+    """Empirical Mosaic budget for the super-P2G kernel.  The 21 preshifted
+    (tx+2, ty+2, Ks, nz) Element halo blocks plus the kernel's per-combo
+    accumulator temps compile (and run, TPU-gated tests) at the flagship
+    Ks*nz = 8*128; at 256^3 (Ks*nz = 8*256, ~2x the live set) the remote
+    Mosaic compile helper crashes deterministically (subprocess exit 1,
+    scripts/diag_kernels_256.py).  Beyond the bound callers run the XLA
+    supercell form (supertable.p2g_from_super) instead."""
+    from .supertable import super_k
+
+    ks = super_k(cfg) if ks is None else ks
+    return ks * cfg.nz <= 8 * 128
+
+
 def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                 preshift: bool = True,
                                 batched: bool | None = None,

@@ -73,6 +73,27 @@ def _sweep_kernel(n0, ty, n2, r, reverse, phi_in, cx_in, cy_in, cz_in,
     jax.lax.fori_loop(1, n0, body, carry0)
 
 
+_DEFAULT_SCOPED_VMEM = 16 * 1024 * 1024
+_VMEM_CAP = 100 * 1024 * 1024  # v5e has 128 MB VMEM/core; leave headroom
+
+
+def _sweep_block_bytes(n0: int, ty: int, n2: int) -> int:
+    """Pipelined block footprint of one sweep: 8 blocks (4 in + 4 out) of
+    (n0, ty, lanes) f32, double-buffered.  Matches the Mosaic scoped-vmem
+    accounting exactly (measured: 32 MiB reported at 256^3, ty=8)."""
+    lanes = -(-n2 // 128) * 128
+    return 2 * 8 * n0 * ty * lanes * 4
+
+
+def sweeps_fit_vmem(cfg: SimConfig, ty: int = 8) -> bool:
+    """Whether every one of the 24 sweeps (each permutes a different axis
+    to major/lanes) fits VMEM with the limit raised to _VMEM_CAP.  Beyond
+    this (grids ~> 350^3) callers fall back to the XLA scan sweeps."""
+    dims = sorted((cfg.nx, cfg.ny, cfg.nz))
+    # Worst permutation: the two largest dims land on (major, lanes).
+    return _sweep_block_bytes(dims[2], ty, dims[1]) + 4 * 1024 * 1024 <= _VMEM_CAP
+
+
 def _sweep_major(r, reverse, phi, cx, cy, cz, ty=8):
     """One directional sweep along axis 0; (phi, cx, cy, cz) are (n0, n1, n2)
     with cx = candidate coordinate along axis 0, cy along axis 1, cz along
@@ -81,6 +102,16 @@ def _sweep_major(r, reverse, phi, cx, cy, cz, ty=8):
     assert n1 % ty == 0
     kernel = functools.partial(_sweep_kernel, n0, ty, n2, r, reverse)
     spec = pl.BlockSpec((n0, ty, n2), lambda j: (0, j, 0), memory_space=pltpu.VMEM)
+    # Mosaic's default scoped-VMEM limit is 16 MiB; the block set scales
+    # with n0*n2 and exceeds it at >=256^3.  Raise the limit only when
+    # needed (keeps <=128^3 programs byte-identical); sweeps_fit_vmem gates
+    # grids whose blocks would exceed the raised cap.
+    need = _sweep_block_bytes(n0, ty, n2)
+    params = {}
+    if need > _DEFAULT_SCOPED_VMEM:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(_VMEM_CAP, need + 4 * 1024 * 1024)
+        )
     return pl.pallas_call(
         kernel,
         grid=(n1 // ty,),
@@ -90,6 +121,7 @@ def _sweep_major(r, reverse, phi, cx, cy, cz, ty=8):
         in_specs=[spec] * 4,
         out_specs=(spec,) * 4,
         interpret=jax.default_backend() != "tpu",
+        **params,
     )(phi, cx, cy, cz)
 
 

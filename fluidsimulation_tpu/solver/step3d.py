@@ -133,14 +133,24 @@ def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
         else:
             phi, cpos = neighborhood_pass(cfg, cpos0)
         if use_pallas:
-            from ..ops.pallas_sweep import sweep_closest_pallas
+            from ..ops.pallas_sweep import sweep_closest_pallas, sweeps_fit_vmem
 
-            phi, _ = sweep_closest_pallas(cfg, phi, cpos)
+            if sweeps_fit_vmem(cfg):
+                phi, _ = sweep_closest_pallas(cfg, phi, cpos)
+            else:
+                phi, _ = sweep_closest(cfg, phi, cpos)
         else:
             phi, _ = sweep_closest(cfg, phi, cpos)
         # The super-P2G kernel tiles (tx=1, ty=8) over supercells: needs
-        # sy = ny/2 to be a multiple of 8.
-        if use_super and use_pallas and (cfg.ny // 2) % 8 == 0:
+        # sy = ny/2 to be a multiple of 8, and fitting the Mosaic budget.
+        from ..ops.pallas_p2g_super import super_p2g_fits
+
+        if (
+            use_super
+            and use_pallas
+            and (cfg.ny // 2) % 8 == 0
+            and super_p2g_fits(cfg)
+        ):
             from ..ops.pallas_p2g_super import p2g_from_super_pallas
 
             u, v, w, uv, vv, wv = p2g_from_super_pallas(cfg, table, pos, vel)

@@ -161,9 +161,10 @@ def _seed_stage(cfg, use_pallas, use_super, table, pos):
 
 def _sweep_stage(cfg, use_pallas, phi, cpos):
     if use_pallas:
-        from ..ops.pallas_sweep import sweep_closest_pallas
+        from ..ops.pallas_sweep import sweep_closest_pallas, sweeps_fit_vmem
 
-        return sweep_closest_pallas(cfg, phi, cpos)
+        if sweeps_fit_vmem(cfg):
+            return sweep_closest_pallas(cfg, phi, cpos)
     from ..ops import levelset
 
     return levelset.sweep_closest(cfg, phi, cpos)
@@ -172,7 +173,14 @@ def _sweep_stage(cfg, use_pallas, phi, cpos):
 def _p2g_stage(cfg, use_pallas, use_super, table, pos, vel):
     # Mirror step3d's exact routing (incl. the (ny // 2) % 8 kernel-tile
     # guard) so the profiler times the kernel step() actually runs.
-    if use_super and use_pallas and (cfg.ny // 2) % 8 == 0:
+    from ..ops.pallas_p2g_super import super_p2g_fits
+
+    if (
+        use_super
+        and use_pallas
+        and (cfg.ny // 2) % 8 == 0
+        and super_p2g_fits(cfg, table.slots.shape[2])
+    ):
         from ..ops.pallas_p2g_super import p2g_from_super_pallas
 
         return p2g_from_super_pallas(cfg, table, pos, vel)

@@ -1,0 +1,66 @@
+"""Benchmark at the reference's EXACT demo config: 64^3 grid,
+cells_per_meter=64, ppc_axis=2 -> 953,312 particles (Simulation.cpp:47-74),
+dt = 1/60 * simulation_rate 0.5 clamped (Simulation.cpp:515), plus the
+800x600 exact 2-bounce frame — the honest head-to-head against the
+reference's "30 fps on at least one laptop" (README.md:15).
+
+Usage: python scripts/bench_ref64.py [n_steps]
+"""
+import sys, time
+sys.path.insert(0, ".")
+import jax
+import numpy as np
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.core.state import init_state
+from fluidsimulation_tpu.solver.step3d import step_jit, clamp_dt
+from fluidsimulation_tpu.render.camera import OrbitCamera
+from fluidsimulation_tpu.render.raytrace import render_frame
+
+
+def fetch(x):
+    jax.block_until_ready(x)
+    jax.device_get(np.asarray(x).ravel()[0] if not hasattr(x, "vel") else x.vel.ravel()[0])
+
+
+def main(n_steps=10):
+    cfg = SimConfig()  # 64^3, cpm=64, ppc_axis=2 (the reference demo)
+    dt = clamp_dt(cfg, 1 / 60, simulation_rate=0.5)
+    print(f"config: {cfg.nx}^3, {cfg.num_particles} particles, dt={dt:.5f}")
+    s = jax.device_put(init_state(cfg))
+    s = step_jit(s, dt, cfg)
+    fetch(s)
+
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            s = step_jit(s, dt, cfg)
+        fetch(s)
+        best = max(best, n_steps / (time.perf_counter() - t0))
+    print(f"step: {1000/best:.1f} ms = {best:.2f} steps/s (best of 2x{n_steps})")
+
+    co, right, up, fwd = OrbitCamera().frame(800, 600)
+
+    def draw(phi):
+        img = render_frame(phi, co, right, up, fwd, width=800, height=600,
+                           band_rows=64)
+        jax.block_until_ready(img)
+        jax.device_get(np.asarray(img).ravel()[0])
+        return img
+
+    img = draw(s.phi)
+    rbest = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            img = draw(s.phi)
+        rbest = min(rbest, (time.perf_counter() - t0) / 3)
+    assert np.isfinite(np.asarray(img)).all()
+    fps = 1.0 / (1.0 / best + rbest)
+    print(f"render: {1000*rbest:.1f} ms/frame (800x600, exact 2-bounce)")
+    print(f"sim+render: {fps:.2f} fps (reference: 30 fps on a laptop GPU)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -33,4 +33,5 @@ def main(grid=64, steps=200, dt=1/60):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 64,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 200,
+         float(sys.argv[3]) if len(sys.argv) > 3 else 1 / 60)

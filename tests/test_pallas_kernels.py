@@ -46,3 +46,31 @@ def test_pallas_neighborhood_matches_xla():
     b_phi, b_cpos = neighborhood_pass_pallas(CFG, cpos0)
     np.testing.assert_allclose(np.asarray(a_phi), np.asarray(b_phi), atol=2e-6)
     np.testing.assert_allclose(np.asarray(a_cpos), np.asarray(b_cpos), atol=2e-6)
+
+
+def test_sweeps_vmem_gate():
+    """The sweep kernel raises Mosaic's scoped-VMEM limit for >=256^3 grids
+    (blocks are (n0, 8, n2) x 8, double-buffered: 32 MiB at 256^3 vs the
+    16 MiB default) and the gate rejects grids beyond the 100 MiB cap."""
+    from fluidsimulation_tpu.ops.pallas_sweep import (
+        _DEFAULT_SCOPED_VMEM,
+        _sweep_block_bytes,
+        sweeps_fit_vmem,
+    )
+
+    assert _sweep_block_bytes(256, 8, 256) == 32 * 1024 * 1024  # measured
+    assert _sweep_block_bytes(128, 8, 128) < _DEFAULT_SCOPED_VMEM
+    mk = lambda n: SimConfig(nx=n, ny=n, nz=n, cells_per_meter=float(n))
+    assert sweeps_fit_vmem(mk(128))
+    assert sweeps_fit_vmem(mk(256))
+    assert sweeps_fit_vmem(mk(320))
+    assert not sweeps_fit_vmem(mk(512))
+
+
+def test_super_p2g_vmem_gate():
+    from fluidsimulation_tpu.ops.pallas_p2g_super import super_p2g_fits
+
+    mk = lambda n: SimConfig(nx=n, ny=n, nz=n, cells_per_meter=float(n),
+                             particles_per_cell_axis=1)
+    assert super_p2g_fits(mk(128))   # flagship: compiles + TPU-tested
+    assert not super_p2g_fits(mk(256))  # crashes the Mosaic compile helper
