@@ -44,12 +44,14 @@ def main():
     state = step_jit(state, dt, cfg)
     fetch(state)
 
-    # Two measurement rounds, best taken: the tunneled TPU drifts between
-    # performance states across/within processes (docs/PERF.md); the best
-    # round is the honest capability number for the fixed workload.
+    # Three measurement rounds, best taken: the tunneled TPU drifts between
+    # ~1.5x-apart performance states across/within processes (docs/PERF.md);
+    # the best round is the honest capability number for the fixed workload,
+    # and extra rounds are cheap (~1 s each) insurance against sampling only
+    # the slow state.
     n_steps = 10
     steps_per_sec = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state = step_jit(state, dt, cfg)
@@ -75,7 +77,7 @@ def main():
     draw(state.phi)  # compile
     n_frames = 3
     render_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_frames):
             img = draw(state.phi)

@@ -43,8 +43,11 @@ def main(n_steps=10):
     co, right, up, fwd = OrbitCamera().frame(800, 600)
 
     def draw(phi):
+        # 100-wide tiles measured best on this scene (scripts/
+        # diag_ref64_render.py: 417-433 ms for 100x100/100-row tiles vs
+        # 505-603 for 150x100/100x200; 64x100 noise-equal at 420-522).
         img = render_frame(phi, co, right, up, fwd, width=800, height=600,
-                           band_rows=64)
+                           band_rows=100)
         jax.block_until_ready(img)
         jax.device_get(np.asarray(img).ravel()[0])
         return img
