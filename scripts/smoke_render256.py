@@ -57,9 +57,16 @@ def main(n_steps=3):
         best = min(best, time.perf_counter() - t0)
     a = np.asarray(img)
     assert np.isfinite(a).all(), "non-finite pixels"
-    uniq = len(np.unique((a * 255).astype(np.uint8).reshape(-1, 3), axis=0))
-    print(f"render: {1000*best:.1f} ms/frame  mean={a.mean():.3f} "
-          f"unique_colors={uniq}")
+    # Health on the DISPLAY image (clamped like the reference's swapchain):
+    # raw frames are HDR (sun disc ~1840) and carry the documented all-TIR
+    # sentinel quirk on a couple of camera-dependent pixels
+    # (render/raytrace.py "largeNum sentinels"; measured 2 pixels at this
+    # camera) — the raw mean is meaningless.
+    d = np.clip(a, 0.0, 1.0)
+    quirk = int((a.max(axis=-1) > 1e6).sum())
+    uniq = len(np.unique((d * 255).astype(np.uint8).reshape(-1, 3), axis=0))
+    print(f"render: {1000*best:.1f} ms/frame  display_mean={d.mean():.3f} "
+          f"unique_colors={uniq}  sentinel_quirk_pixels={quirk}")
 
 
 if __name__ == "__main__":
