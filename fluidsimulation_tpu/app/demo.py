@@ -131,6 +131,13 @@ def main(argv=None):
         "vs 318 ms at 128^3 on a mid-collapse scene (docs/PERF.md)",
     )
     ap.add_argument(
+        "--transfer", choices=("flip", "apic"), default="flip",
+        help="transfer model: the reference's hybrid PIC/FLIP (default) "
+        "or the APIC extension (affine particle-in-cell, quadratic "
+        "B-splines — angular-momentum-preserving, dissipation-free; "
+        "solver/apic.py; not in the reference)",
+    )
+    ap.add_argument(
         "--two-d", action="store_true",
         help="run the 2D solver (FluidSim / FluidSimDemoOld equivalent), "
         "rendering particle splats over a checkerboard",
@@ -148,7 +155,16 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     print(f"grid {cfg.nx}^3, {cfg.num_particles} particles")
 
-    state = init_state(cfg)
+    if args.transfer == "apic":
+        from ..solver.apic import init_apic_state, step_apic_jit
+
+        if args.profile:
+            ap.error("--profile is PIC/FLIP-only (the 23-mark table maps "
+                     "the reference pipeline); drop it with --transfer apic")
+        _init, _step = init_apic_state, step_apic_jit
+    else:
+        _init, _step = init_state, step_jit
+    state = _init(cfg)
     cam = OrbitCamera()
     rate = args.rate
     meter = Meter(cfg.num_particles)
@@ -165,7 +181,7 @@ def main(argv=None):
             elif cmd == "0":
                 cam.reset()
             elif cmd == "r":
-                state = init_state(cfg)
+                state = _init(cfg)
             elif cmd == "q":
                 break
             elif cmd.startswith("o "):
@@ -214,7 +230,7 @@ def main(argv=None):
             )
             print(prof.table())
         else:
-            state = step_jit(state, dt, cfg)
+            state = _step(state, dt, cfg)
             state.pos.block_until_ready()
             if do_render:
                 draw(state)
@@ -230,10 +246,15 @@ def main(argv=None):
             print(f"step {i}: {step_ms:.1f} ms  ({meter.summary()})")
             if not check_state(state):
                 print("anomaly detected; resetting (reference 'r' behavior)")
-                state = init_state(cfg)
+                state = _init(cfg)
 
     if args.save_state:
-        save_state(os.path.join(args.out, "final_state.npz"), state, cfg)
+        if args.transfer == "apic":
+            np.savez(os.path.join(args.out, "final_state.npz"),
+                     **{k: np.asarray(getattr(state, k))
+                        for k in ("pos", "vel", "C", "u", "v", "w", "phi")})
+        else:
+            save_state(os.path.join(args.out, "final_state.npz"), state, cfg)
     print(meter.summary())
 
 

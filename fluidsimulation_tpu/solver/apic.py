@@ -1,0 +1,69 @@
+"""APIC stepper — the PIC/FLIP pipeline with the transfer pair swapped.
+
+Extension model family (the reference ships PIC/FLIP only; see
+ops/apic.py for the method and design notes).  Stage order follows
+`GPFluidSim::Simulate` (Simulation.cpp:513-566) exactly, with two
+substitutions: P2G carries the affine term (ops/apic.py::p2g_apic) and
+the particle update is the APIC G2P (pure-PIC velocities + affine rows)
+instead of the FLIP blend — APIC needs no old-grid snapshot.
+
+State is `ApicState` (SimState fields + C), its own pytree so the
+existing SimState paths (checkpoint, halo step, demo) are untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import init_state
+from ..ops.advect import advect_rk3
+from ..ops.apic import g2p_apic, p2g_apic
+from ..ops.extrapolate import extrapolate_one_ring
+from ..ops.forces import add_gravity
+from ..ops.levelset import compute_level_set
+from ..ops.project import project
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ApicState:
+    pos: jax.Array  # (N, 3) meters
+    vel: jax.Array  # (N, 3) m/s
+    C: jax.Array    # (N, 3, 3) 1/s — affine rows per component
+    u: jax.Array
+    v: jax.Array
+    w: jax.Array
+    phi: jax.Array
+
+
+def init_apic_state(cfg: SimConfig) -> ApicState:
+    """Reference dam-break seeding (core/state.py) with C = 0."""
+    s = init_state(cfg)
+    n = s.pos.shape[0]
+    return ApicState(
+        pos=s.pos, vel=s.vel, C=jnp.zeros((n, 3, 3), jnp.float32),
+        u=s.u, v=s.v, w=s.w, phi=s.phi,
+    )
+
+
+def step_apic(state: ApicState, dt, cfg: SimConfig) -> ApicState:
+    """One APIC step (dt already clamped; cfg static)."""
+    pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt,
+                     packed=True)
+    phi, _ = compute_level_set(cfg, pos)
+    u, v, w, uv, vv, wv = p2g_apic(cfg, pos, state.vel, state.C)
+    u = extrapolate_one_ring(u, uv)
+    v = extrapolate_one_ring(v, vv)
+    w = extrapolate_one_ring(w, wv)
+    v = add_gravity(cfg, v, dt)
+    u, v, w, _ = project(cfg, u, v, w, phi, dt)
+    vel, C = g2p_apic(cfg, pos, u, v, w)
+    return ApicState(pos=pos, vel=vel, C=C, u=u, v=v, w=w, phi=phi)
+
+
+step_apic_jit = jax.jit(step_apic, static_argnames=("cfg",))

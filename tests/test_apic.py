@@ -1,0 +1,158 @@
+"""APIC transfer (ops/apic.py) + stepper (solver/apic.py) tests.
+
+Key analytic properties of the quadratic-B-spline APIC pair:
+ * partition of unity / linear completeness of the weights,
+ * D_p = (1/4) diag(1/m^2) identically (the no-solve C = 4 B m^2 rule),
+ * affine velocity fields v(x) = v0 + A (x - x0) round-trip P2G -> G2P
+   exactly (both v and C recovered) — this is APIC's defining property
+   (angular momentum preservation is the A = skew case),
+ * constant fields transfer exactly (normalization sanity),
+ * the full stepper runs and behaves physically on a small dam break.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsimulation_tpu.core.config import SimConfig
+from fluidsimulation_tpu.ops.apic import (
+    _component_nodes,
+    _quad_spline,
+    g2p_apic,
+    p2g_apic,
+)
+
+
+def _cfg(n=16):
+    return SimConfig(nx=n, ny=n, nz=n, cells_per_meter=float(n))
+
+
+def _block_particles(cfg, lo=0.3, hi=0.7, ppc=2, seed=0):
+    """Dense jittered block of particles in [lo,hi]^3 (meters)."""
+    rng = np.random.default_rng(seed)
+    m = np.array([cfg.nx, cfg.ny, cfg.nz], np.float32)
+    cells = np.stack(
+        np.meshgrid(
+            *[np.arange(int(lo * d), int(hi * d)) for d in m], indexing="ij"
+        ),
+        -1,
+    ).reshape(-1, 3)
+    sub = np.stack(
+        np.meshgrid(*[np.arange(ppc)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    pc = (
+        cells[:, None, :]
+        + (sub[None, :, :] + 0.5) / ppc
+        - 0.5
+        + rng.uniform(-0.2, 0.2, (len(cells), len(sub), 3))
+    ).reshape(-1, 3)
+    return jnp.asarray((pc / m).astype(np.float32))
+
+
+def test_quad_spline_properties():
+    t = jnp.linspace(-0.49, 0.49, 21) + 7.0  # arbitrary node-frame coords
+    base = jnp.floor(t - 0.5)
+    w = [_quad_spline(t - (base + o)) for o in (0, 1, 2)]
+    np.testing.assert_allclose(sum(w), 1.0, atol=1e-6)  # partition of unity
+    nodes = [base + o for o in (0, 1, 2)]
+    first = sum(wi * xi for wi, xi in zip(w, nodes))
+    np.testing.assert_allclose(first, t, atol=1e-5)  # linear completeness
+    second = sum(wi * (xi - t) ** 2 for wi, xi in zip(w, nodes))
+    np.testing.assert_allclose(second, 0.25, atol=1e-6)  # D = 1/4 (cell^2)
+
+
+def test_inertia_identity_all_components():
+    cfg = _cfg(16)
+    m = np.array([cfg.nx, cfg.ny, cfg.nz], np.float32)
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.uniform(0.3, 0.7, (64, 3)).astype(np.float32))
+    pc = pos * jnp.asarray(m)
+    for comp in range(3):
+        D = np.zeros((64, 3, 3), np.float32)
+        for _idx, ok, w, dxm in _component_nodes(cfg, pc, comp):
+            assert bool(np.asarray(ok).all())  # interior: all nodes valid
+            for a in range(3):
+                for b in range(3):
+                    D[:, a, b] += np.asarray(w * dxm[a] * dxm[b])
+        expect = np.diag(0.25 / m**2)
+        np.testing.assert_allclose(D, np.broadcast_to(expect, D.shape),
+                                   atol=1e-8)
+
+
+def test_constant_field_transfers_exactly():
+    cfg = _cfg(16)
+    pos = _block_particles(cfg)
+    n = pos.shape[0]
+    v0 = jnp.asarray([0.3, -0.2, 0.1], jnp.float32)
+    vel = jnp.broadcast_to(v0, (n, 3))
+    C = jnp.zeros((n, 3, 3), jnp.float32)
+    u, v, w, uv, vv, wv = p2g_apic(cfg, pos, vel, C)
+    # Interior valid faces hold exactly v0 (weighted average of constant).
+    assert bool(uv[1:-1].any())
+    np.testing.assert_allclose(np.asarray(u[1:-1])[np.asarray(uv[1:-1])],
+                               0.3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v[:, 1:-1])[np.asarray(vv[:, 1:-1])],
+                               -0.2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w[..., 1:-1])[np.asarray(wv[..., 1:-1])],
+                               0.1, atol=1e-5)
+
+
+def test_affine_field_roundtrips_exactly():
+    """v(x) = v0 + A (x - x0) with a generic A (rotation + shear + scale):
+    P2G produces the exact affine field on every covered face, and G2P
+    recovers both vel and C — APIC's defining exactness."""
+    cfg = _cfg(16)
+    pos = _block_particles(cfg, lo=0.2, hi=0.8)
+    n = pos.shape[0]
+    v0 = jnp.asarray([0.05, -0.1, 0.2], jnp.float32)
+    x0 = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    A = jnp.asarray(
+        [[0.3, 1.5, -0.7], [-1.5, 0.1, 0.4], [0.7, -0.4, -0.2]], jnp.float32
+    )
+    vel = v0 + (pos - x0) @ A.T
+    C = jnp.broadcast_to(A, (n, 3, 3))
+
+    u, v, w, uv, vv, wv = p2g_apic(cfg, pos, vel, C)
+
+    # Spot-check P2G exactness on interior valid U faces.
+    m = np.array([cfg.nx, cfg.ny, cfg.nz], np.float32)
+    uvn = np.asarray(uv)
+    idx = np.argwhere(uvn)
+    idx = idx[(idx[:, 0] > 0) & (idx[:, 0] < cfg.nx)]
+    xs = np.stack(
+        [(idx[:, 0] - 0.5) / m[0], idx[:, 1] / m[1], idx[:, 2] / m[2]], -1
+    )
+    expect_u = np.asarray(v0)[0] + (xs - np.asarray(x0)) @ np.asarray(A[0])
+    np.testing.assert_allclose(np.asarray(u)[tuple(idx.T)], expect_u,
+                               atol=2e-4)
+
+    # G2P roundtrip on particles well inside the block (>= 3 cells from
+    # the block surface, so every spline node carries a valid face value).
+    vel2, C2 = g2p_apic(cfg, pos, u, v, w)
+    # Inner = >= 2.5 cells inside the particle cloud: every spline node
+    # (within 1.5 cells) then lies in particle-covered, valid-face space.
+    pn = np.asarray(pos)
+    margin = 2.5 / m[0]
+    inner = np.all(
+        (pn > pn.min(0) + margin) & (pn < pn.max(0) - margin), axis=1
+    )
+    assert inner.sum() > 100
+    np.testing.assert_allclose(np.asarray(vel2)[inner],
+                               np.asarray(vel)[inner], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(C2)[inner],
+                               np.asarray(C)[inner], atol=2e-2)
+
+
+def test_step_apic_dam_break_smoke():
+    from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
+
+    cfg = _cfg(16)
+    s = init_apic_state(cfg)
+    for _ in range(5):
+        s = step_apic_jit(s, 0.01, cfg)
+    for arr in (s.pos, s.vel, s.C, s.u, s.v, s.w, s.phi):
+        assert bool(jnp.isfinite(arr).all())
+    # gravity pulls the dam down; speeds stay physical
+    assert float(s.vel[:, 1].mean()) < 0.0
+    assert float(jnp.abs(s.vel).max()) < 10.0
+    # C picked up nonzero structure (velocity gradients exist)
+    assert float(jnp.abs(s.C).max()) > 1e-3
