@@ -21,7 +21,12 @@ Design notes (TPU-first, correctness tier):
   C[p, k, :] ~ (d v_k / d x, y, z), shape (N, 3, 3), units 1/s.
 * Scatter/gather formulations mirror ops/p2g.py's `_scatter_component`
   (27 offsets instead of 8); this tier matches the CPU-twin math exactly
-  and is the oracle for any future packed/Pallas fast path.
+  and is the oracle for any future packed/Pallas fast path.  Measured
+  cost of the tier (TPU v5e, scripts/bench_apic.py): 2053 ms/step at
+  64^3 / 953k vs the PIC/FLIP fast path's 92 ms — exactly the
+  transaction arithmetic (27 nodes x 3 components x 1M each way at
+  ~9 ns/elem ≈ 1.5 s); a fast path would reuse the supercell-table /
+  packed-row machinery the FLIP path uses.
 
 Exactness property (tested): affine velocity fields v(x) = v0 + A(x-x0)
 round-trip P2G -> G2P unchanged (quadratic B-splines reproduce linears),
