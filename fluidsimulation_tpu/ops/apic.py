@@ -21,12 +21,14 @@ Design notes (TPU-first, correctness tier):
   C[p, k, :] ~ (d v_k / d x, y, z), shape (N, 3, 3), units 1/s.
 * Scatter/gather formulations mirror ops/p2g.py's `_scatter_component`
   (27 offsets instead of 8); this tier matches the CPU-twin math exactly
-  and is the oracle for any future packed/Pallas fast path.  Measured
-  cost of the tier (TPU v5e, scripts/bench_apic.py): 2053 ms/step at
-  64^3 / 953k vs the PIC/FLIP fast path's 92 ms — exactly the
-  transaction arithmetic (27 nodes x 3 components x 1M each way at
-  ~9 ns/elem ≈ 1.5 s); a fast path would reuse the supercell-table /
-  packed-row machinery the FLIP path uses.
+  and is the oracle for the packed fast paths.  Measured on TPU v5e at
+  64^3 / 953k (scripts/bench_apic.py): oracle step 2053 ms; with the
+  packed 9x32-row G2P (g2p_apic_packed, below) 1382 ms — the removed
+  ~0.7 s matches the 81N-element-gather transaction arithmetic exactly.
+  The remaining gap to the PIC/FLIP fast path's 92 ms is the P2G
+  scatter's 162N elements (~1.4 s at ~9 ns/elem); its dense-window
+  table form (a 16-field cell table + 36-cell spline windows, the
+  celltable.p2g_from_table pattern) is the documented next lever.
 
 Exactness property (tested): affine velocity fields v(x) = v0 + A(x-x0)
 round-trip P2G -> G2P unchanged (quadratic B-splines reproduce linears),
@@ -35,6 +37,7 @@ and total momentum is conserved by P2G (sum_i w_ip (x_i-x_p) = 0).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
@@ -179,4 +182,98 @@ def g2p_apic(cfg: SimConfig, pos, u, v, w):
 
     vel = jnp.stack(vels, axis=-1)
     C = jnp.stack(crows, axis=1)  # (N, 3, 3), rows indexed by component
+    return vel, C
+
+
+# -- packed G2P fast path ----------------------------------------------------
+#
+# The oracle g2p gathers 27 single elements per component per particle
+# (81 x N element-gathers ~ 0.7 s at 1M on v5e).  All 27 nodes of one
+# component fit in ONE PackedPhi9-style row: 3x3 (x,y)-corners x a 32-lane
+# z-window (stride 30 keeps base_z+2 in-window), so the packed path costs
+# 3 x N ~1.1 KB row gathers (~30 ms at 1M) plus in-register spline math.
+# Rows are EDGE-padded (1 low / 2 high per axis) so out-of-range nodes
+# reuse the boundary value — exactly the oracle's clamp addressing, with
+# the nominal node positions kept in the weights/levers.
+
+_S = 30
+_L9 = 32
+
+
+def pack_mac9(grid):
+    """Pack one MAC component grid into (rows, dims, ns).
+
+    rows[(px * (gy+1) + py) * ns + s] holds the 3x3 corner z-segments
+    [30s, 30s+32) of the (1,2)-edge-padded grid; px = base_x + 1 for
+    base_x in [-1, gx-1] (likewise y); lane l is padded-z index 30s + l,
+    i.e. node index 30s + l - 1."""
+    gx, gy, gz = grid.shape
+    ns = gz // _S + 1
+    zhi = _S * (ns - 1) + _L9 - (gz + 1)
+    gp = jnp.pad(grid, ((1, 2), (1, 2), (1, zhi)), mode="edge")
+    seg = jnp.stack([gp[..., _S * s: _S * s + _L9] for s in range(ns)],
+                    axis=-2)  # (gx+3, gy+3, ns, L)
+    rows = jnp.stack(
+        [seg[dx: dx + gx + 1, dy: dy + gy + 1]
+         for dx in range(3) for dy in range(3)],
+        axis=3,
+    )  # (gx+1, gy+1, ns, 9, L)
+    return rows.reshape((gx + 1) * (gy + 1) * ns, 9 * _L9), grid.shape, ns
+
+
+def g2p_apic_packed(cfg: SimConfig, pos, u, v, w):
+    """g2p_apic via one packed-row gather per component (same math, packed
+    reduction order; equality tested to fp tolerance)."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    pc = pos * m
+    n = pos.shape[0]
+
+    vels, crows = [], []
+    for comp_axis, grid in ((0, u), (1, v), (2, w)):
+        rows2d, (gx, gy, gz), ns = pack_mac9(grid)
+        t = [pc[:, ax] + (0.5 if ax == comp_axis else 0.0) for ax in range(3)]
+        base = [jnp.floor(ta - 0.5).astype(jnp.int32) for ta in t]
+        px, py = base[0] + 1, base[1] + 1
+        pz = base[2] + 1
+        seg = pz // _S
+        key = (px * (gy + 1) + py) * ns + seg
+        rows = rows2d[key].reshape(n, 9, _L9)
+
+        lane = jax.lax.broadcasted_iota(jnp.float32, (1, _L9), 1)
+        # node z coordinate of lane l: 30*seg + l - 1
+        znode = jnp.float32(_S) * seg[:, None].astype(jnp.float32) + lane - 1.0
+        dz = t[2][:, None] - znode
+        wz = _quad_spline(dz)  # auto-zero outside the 3-node support
+        zred = (rows * wz[:, None, :]).sum(-1)          # (N, 9)
+        zred_dz = (rows * (wz * (-dz / m[2]))[:, None, :]).sum(-1)
+
+        wx = [_quad_spline(t[0] - (base[0] + a).astype(jnp.float32))
+              for a in range(3)]
+        wy = [_quad_spline(t[1] - (base[1] + b).astype(jnp.float32))
+              for b in range(3)]
+        dxx = [((base[0] + a).astype(jnp.float32) - t[0]) / m[0]
+               for a in range(3)]
+        dyy = [((base[1] + b).astype(jnp.float32) - t[1]) / m[1]
+               for b in range(3)]
+
+        vk = jnp.zeros(n, jnp.float32)
+        bx = jnp.zeros(n, jnp.float32)
+        by = jnp.zeros(n, jnp.float32)
+        bz = jnp.zeros(n, jnp.float32)
+        for a in range(3):
+            for b in range(3):
+                wab = wx[a] * wy[b]
+                zc = zred[:, 3 * a + b]
+                vk = vk + wab * zc
+                bx = bx + wab * dxx[a] * zc
+                by = by + wab * dyy[b] * zc
+                bz = bz + wab * zred_dz[:, 3 * a + b]
+        vels.append(vk)
+        scale = 4.0 * m * m
+        crows.append(jnp.stack(
+            [bx * scale[0], by * scale[1], bz * scale[2]], -1))
+
+    vel = jnp.stack(vels, axis=-1)
+    C = jnp.stack(crows, axis=1)
     return vel, C

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core.config import SimConfig
 from ..core.state import init_state
 from ..ops.advect import advect_rk3
-from ..ops.apic import g2p_apic, p2g_apic
+from ..ops.apic import g2p_apic, g2p_apic_packed, p2g_apic
 from ..ops.extrapolate import extrapolate_one_ring
 from ..ops.forces import add_gravity
 from ..ops.levelset import compute_level_set
@@ -51,8 +51,14 @@ def init_apic_state(cfg: SimConfig) -> ApicState:
     )
 
 
-def step_apic(state: ApicState, dt, cfg: SimConfig) -> ApicState:
-    """One APIC step (dt already clamped; cfg static)."""
+def step_apic(state: ApicState, dt, cfg: SimConfig,
+              fast: bool = True) -> ApicState:
+    """One APIC step (dt already clamped; cfg static).
+
+    fast=True routes G2P through the packed 9x32-row gather
+    (ops/apic.py::g2p_apic_packed, equality-tested vs the oracle); the
+    P2G scatter remains the correctness tier — its table-gather fast
+    path is the documented next lever (CLAUDE.md)."""
     pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt,
                      packed=True)
     phi, _ = compute_level_set(cfg, pos)
@@ -62,8 +68,9 @@ def step_apic(state: ApicState, dt, cfg: SimConfig) -> ApicState:
     w = extrapolate_one_ring(w, wv)
     v = add_gravity(cfg, v, dt)
     u, v, w, _ = project(cfg, u, v, w, phi, dt)
-    vel, C = g2p_apic(cfg, pos, u, v, w)
+    g2p = g2p_apic_packed if fast else g2p_apic
+    vel, C = g2p(cfg, pos, u, v, w)
     return ApicState(pos=pos, vel=vel, C=C, u=u, v=v, w=w, phi=phi)
 
 
-step_apic_jit = jax.jit(step_apic, static_argnames=("cfg",))
+step_apic_jit = jax.jit(step_apic, static_argnames=("cfg", "fast"))

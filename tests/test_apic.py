@@ -156,3 +156,26 @@ def test_step_apic_dam_break_smoke():
     assert float(jnp.abs(s.vel).max()) < 10.0
     # C picked up nonzero structure (velocity gradients exist)
     assert float(jnp.abs(s.C).max()) > 1e-3
+
+
+def test_g2p_packed_matches_oracle():
+    """g2p_apic_packed == g2p_apic (same math via one 9x32 row gather per
+    component; edge-padded rows replicate the oracle's clamp addressing),
+    on random grids INCLUDING boundary-adjacent particles."""
+    from fluidsimulation_tpu.ops.apic import g2p_apic_packed
+
+    cfg = _cfg(16)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(17, 16, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(16, 17, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 16, 17)).astype(np.float32))
+    # Positions spanning the advect-clamp range incl. near-wall cells.
+    lo, hi = -0.4 / 16, 1.0 - 0.6 / 16
+    pos = jnp.asarray(rng.uniform(lo, hi, (4096, 3)).astype(np.float32))
+
+    vel0, C0 = g2p_apic(cfg, pos, u, v, w)
+    vel1, C1 = g2p_apic_packed(cfg, pos, u, v, w)
+    np.testing.assert_allclose(np.asarray(vel1), np.asarray(vel0),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C0),
+                               atol=2e-3)  # C scale ~ 4 m^2
