@@ -22,13 +22,12 @@ Design notes (TPU-first, correctness tier):
 * Scatter/gather formulations mirror ops/p2g.py's `_scatter_component`
   (27 offsets instead of 8); this tier matches the CPU-twin math exactly
   and is the oracle for the packed fast paths.  Measured on TPU v5e at
-  64^3 / 953k (scripts/bench_apic.py): oracle step 2053 ms; with the
-  packed 9x32-row G2P (g2p_apic_packed, below) 1382 ms — the removed
-  ~0.7 s matches the 81N-element-gather transaction arithmetic exactly.
-  The remaining gap to the PIC/FLIP fast path's 92 ms is the P2G
-  scatter's 162N elements (~1.4 s at ~9 ns/elem); its dense-window
-  table form (a 16-field cell table + 36-cell spline windows, the
-  celltable.p2g_from_table pattern) is the documented next lever.
+  64^3 / 953k (scripts/bench_apic.py): oracle step 2053 ms; + the
+  packed 9x32-row G2P (g2p_apic_packed) 1382 ms; + the table-window
+  P2G (build_apic_table / p2g_apic_from_table, below) **316 ms** — each
+  removal matching its transaction arithmetic (81N gathers ~0.7 s,
+  162N scatters ~1.4 s).  The remaining 3.4x vs PIC/FLIP's 92 ms is
+  the wider spline windows (36 vs 18 cells) and the 2x-wide table.
 
 Exactness property (tested): affine velocity fields v(x) = v0 + A(x-x0)
 round-trip P2G -> G2P unchanged (quadratic B-splines reproduce linears),
@@ -277,3 +276,197 @@ def g2p_apic_packed(cfg: SimConfig, pos, u, v, w):
     vel = jnp.stack(vels, axis=-1)
     C = jnp.stack(crows, axis=1)
     return vel, C
+
+
+# -- table-gather P2G fast path ----------------------------------------------
+#
+# The oracle P2G scatters 2 x 27 x 3 x N elements (~1.4 s at 1M / 9 ns per
+# scatter element on v5e).  The dense-window form eliminates scatter the
+# same way celltable.p2g_from_table does for the hat kernel: bin particles
+# into a (nx, ny, K, 16, nz) slot table (the celltable windowed build with
+# a 16-field payload: pc(3), vel(3), present, C row-major(9)), then every
+# MAC face accumulates spline-weighted affine contributions from its
+# 4x3x3-cell neighborhood (quadratic-spline support is 1.5 cells, so the
+# staggered axis needs offsets {-2,-1,0,+1} and the others {-1,0,+1})
+# as dense shifted-window sums.  Overflow particles (> K in a cell) are
+# added exactly via the bounded 27-node scatter.
+
+import dataclasses as _dc
+from typing import Any as _Any
+
+from .celltable import default_k
+from .common import cell_of, rank_ge
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass
+class ApicTable:
+    """slots: (nx, ny, K, 16, nz) f32, fields [px,py,pz, vx,vy,vz, present,
+    C00,C01,C02,C10,C11,C12,C20,C21,C22] (positions in cell units);
+    n_overflow: scalar; overflow_idx: (cap,) int32 (== N when unused)."""
+
+    slots: _Any
+    n_overflow: _Any
+    overflow_idx: _Any
+
+
+def build_apic_table(cfg: SimConfig, pos, vel, C,
+                     k: int | None = None, overflow_cap: int = 4096):
+    """celltable._build_from_cells with a 16-field payload (see ApicTable)."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    K = default_k(cfg) if k is None else k
+    F = 16
+    W = 8 if K <= 8 else 16  # W*F = 128 / 256 lanes: both fast-gather widths
+    assert K <= W
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    pc = pos * m
+    n = pc.shape[0]
+    ncells = nx * ny * nz
+
+    cell = cell_of(pc)
+    lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lin_s, perm = jax.lax.sort((lin, idx), num_keys=1, is_stable=True)
+
+    payload = jnp.concatenate(
+        [pc, vel, jnp.ones((n, 1), jnp.float32), C.reshape(n, 9)], axis=1
+    )
+    payload_s = payload[perm]
+
+    counts = jnp.zeros(ncells, jnp.int32).at[lin].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+
+    pe = jnp.concatenate([payload_s, jnp.zeros((W, F), jnp.float32)], axis=0)
+    win = jnp.concatenate([pe[j: j + n] for j in range(W)], axis=1)
+    src = jnp.minimum(starts[:ncells], n - 1)
+    rows = win[src].reshape(ncells, W, F)[:, :K, :]
+
+    kk = jnp.arange(K, dtype=jnp.int32)
+    present = (kk[None, :] < counts[:, None]).astype(jnp.float32)
+    rows = rows * present[..., None]
+    rows = rows.at[:, :, 6].set(present)
+    slots = rows.reshape(nx, ny, nz, K, F).transpose(0, 1, 3, 4, 2)
+
+    n_overflow = (n - jnp.minimum(counts, K).sum()).astype(jnp.int32)
+    cap = min(overflow_cap, n)
+
+    def find_overflow(_):
+        over = rank_ge(lin_s, K)
+        (pos_s,) = jnp.nonzero(over, size=cap, fill_value=n)
+        return jnp.where(pos_s < n, perm[jnp.minimum(pos_s, n - 1)],
+                         n).astype(jnp.int32)
+
+    overflow_idx = jax.lax.cond(
+        n_overflow > 0, find_overflow,
+        lambda _: jnp.full(cap, n, jnp.int32) + 0 * perm[:1], operand=None,
+    )
+    return ApicTable(slots=slots, n_overflow=n_overflow,
+                     overflow_idx=overflow_idx)
+
+
+def _apic_overflow_scatter(cfg, table, pc, vel, C, comp_axis, shape,
+                           acc, amt):
+    """Exact 27-node spline scatter of overflow particles (bounded by cap)."""
+    n = pc.shape[0]
+    ov = table.overflow_idx
+    live = ov < n
+    safe = jnp.where(live, ov, 0)
+    p = pc[safe]
+    pv = vel[safe, comp_axis]
+    crow = C[safe, comp_axis, :]
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+
+    sx, sy, sz = shape
+    lin_all, w_all, val_all = [], [], []
+    # Reuse the 27-node generator in the overflow frame.
+    for idx, ok, w, dxm in _component_nodes(cfg, p, comp_axis):
+        ok = ok & live
+        val = pv
+        for ax in range(3):
+            val = val + crow[:, ax] * dxm[ax]
+        lin = (idx[0] * sy + idx[1]) * sz + idx[2]
+        lin_all.append(jnp.where(ok, lin, 0))
+        w = jnp.where(ok, w, 0.0)
+        w_all.append(w)
+        val_all.append(w * val)
+    lin = jnp.concatenate(lin_all)
+    w = jnp.concatenate(w_all)
+    vals = jnp.concatenate(val_all)
+    acc = acc.reshape(-1).at[lin].add(vals).reshape(shape)
+    amt = amt.reshape(-1).at[lin].add(w).reshape(shape)
+    return acc, amt
+
+
+def p2g_apic_from_table(cfg: SimConfig, table: ApicTable, pos, vel, C):
+    """p2g_apic via dense spline windows over the 16-field slot table
+    (+ exact bounded overflow scatter).  Same boundary/validity semantics;
+    equality vs the oracle up to summation order."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    pc = pos * m
+    slots = table.slots  # (nx, ny, K, 16, nz)
+    padded = jnp.pad(slots, ((2, 2), (2, 2), (0, 0), (0, 0), (2, 2)))
+
+    out = []
+    for comp_axis, shape in (
+        (0, (nx + 1, ny, nz)),
+        (1, (nx, ny + 1, nz)),
+        (2, (nx, ny, nz + 1)),
+    ):
+        coords = []
+        bshape = [(shape[0], 1, 1, 1), (1, shape[1], 1, 1),
+                  (1, 1, 1, shape[2])]
+        for ax, n_face in enumerate(shape):
+            c = jnp.arange(n_face, dtype=jnp.float32)
+            if ax == comp_axis:
+                c = c - 0.5  # face position in cell units
+            coords.append(c.reshape(bshape[ax]))
+
+        acc = jnp.zeros(shape, jnp.float32)
+        amt = jnp.zeros(shape, jnp.float32)
+        offs_axis = (-2, -1, 0, 1)
+        offs_other = (-1, 0, 1)
+        rng = [offs_axis if ax == comp_axis else offs_other
+               for ax in range(3)]
+        for ox in rng[0]:
+            for oy in rng[1]:
+                for oz in rng[2]:
+                    win = padded[
+                        2 + ox: 2 + ox + shape[0],
+                        2 + oy: 2 + oy + shape[1],
+                        :, :,
+                        2 + oz: 2 + oz + shape[2],
+                    ]
+                    velc = win[:, :, :, 3 + comp_axis, :]
+                    present = win[:, :, :, 6, :]
+                    dx = coords[0] - win[:, :, :, 0, :]
+                    dy = coords[1] - win[:, :, :, 1, :]
+                    dz = coords[2] - win[:, :, :, 2, :]
+                    wgt = (_quad_spline(dx) * _quad_spline(dy)
+                           * _quad_spline(dz) * present)
+                    c0 = win[:, :, :, 7 + 3 * comp_axis, :]
+                    c1 = win[:, :, :, 8 + 3 * comp_axis, :]
+                    c2 = win[:, :, :, 9 + 3 * comp_axis, :]
+                    val = (velc + c0 * (dx / m[0]) + c1 * (dy / m[1])
+                           + c2 * (dz / m[2]))
+                    acc = acc + (wgt * val).sum(2)
+                    amt = amt + wgt.sum(2)
+
+        acc, amt = _apic_overflow_scatter(
+            cfg, table, pc, vel, C, comp_axis, shape, acc, amt
+        )
+        g = acc / jnp.maximum(amt, jnp.float32(1e-30))
+        valid = amt > APIC_WEIGHT_THRESH
+        if comp_axis == 0:
+            g = g.at[0, :, :].set(0.0).at[nx, :, :].set(0.0)
+            valid = valid.at[0, :, :].set(True).at[nx, :, :].set(True)
+        elif comp_axis == 1:
+            g = g.at[:, 0, :].set(0.0).at[:, ny, :].set(0.0)
+            valid = valid.at[:, 0, :].set(True).at[:, ny, :].set(True)
+        else:
+            g = g.at[:, :, 0].set(0.0).at[:, :, nz].set(0.0)
+            valid = valid.at[:, :, 0].set(True).at[:, :, nz].set(True)
+        out.append((g, valid))
+
+    (u, uv), (v, vv), (w, wv) = out
+    return u, v, w, uv, vv, wv

@@ -56,13 +56,21 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
     """One APIC step (dt already clamped; cfg static).
 
     fast=True routes G2P through the packed 9x32-row gather
-    (ops/apic.py::g2p_apic_packed, equality-tested vs the oracle); the
-    P2G scatter remains the correctness tier — its table-gather fast
-    path is the documented next lever (CLAUDE.md)."""
+    (ops/apic.py::g2p_apic_packed) and P2G through the dense spline
+    windows over the 16-field slot table (p2g_apic_from_table) — both
+    equality-tested vs the oracle pair (fast=False)."""
     pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt,
                      packed=True)
     phi, _ = compute_level_set(cfg, pos)
-    u, v, w, uv, vv, wv = p2g_apic(cfg, pos, state.vel, state.C)
+    if fast:
+        from ..ops.apic import build_apic_table, p2g_apic_from_table
+
+        table = build_apic_table(cfg, pos, state.vel, state.C)
+        u, v, w, uv, vv, wv = p2g_apic_from_table(
+            cfg, table, pos, state.vel, state.C
+        )
+    else:
+        u, v, w, uv, vv, wv = p2g_apic(cfg, pos, state.vel, state.C)
     u = extrapolate_one_ring(u, uv)
     v = extrapolate_one_ring(v, vv)
     w = extrapolate_one_ring(w, wv)

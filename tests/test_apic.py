@@ -179,3 +179,34 @@ def test_g2p_packed_matches_oracle():
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(C1), np.asarray(C0),
                                atol=2e-3)  # C scale ~ 4 m^2
+
+
+def test_p2g_table_matches_oracle():
+    """p2g_apic_from_table == p2g_apic (dense spline windows over the
+    16-field slot table + bounded overflow scatter vs direct scatter),
+    same validity masks, values to fp tolerance."""
+    from fluidsimulation_tpu.ops.apic import (
+        build_apic_table,
+        p2g_apic_from_table,
+    )
+
+    cfg = _cfg(16)
+    pos = _block_particles(cfg, lo=0.2, hi=0.8)
+    n = pos.shape[0]
+    rng = np.random.default_rng(5)
+    vel = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(n, 3, 3)).astype(np.float32) * 3.0)
+
+    ref = p2g_apic(cfg, pos, vel, C)
+    for k in (None, 4):  # default K, and a tiny K forcing heavy overflow
+        table = build_apic_table(cfg, pos, vel, C, k=k)
+        got = p2g_apic_from_table(cfg, table, pos, vel, C)
+        if k == 4:
+            assert int(table.n_overflow) > 100
+        for a, b, name in zip(got, ref, ("u", "v", "w", "uv", "vv", "wv")):
+            if name.endswith("v") and len(name) == 2:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name)
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name)
