@@ -470,3 +470,40 @@ def p2g_apic_from_table(cfg: SimConfig, table: ApicTable, pos, vel, C):
 
     (u, uv), (v, vv), (w, wv) = out
     return u, v, w, uv, vv, wv
+
+
+def extrapolate_rings(g, valid, rings: int = 2):
+    """Multi-ring velocity extrapolation (kept as a MEASURED NEGATIVE for
+    the APIC stepper — see the hypothesis trail).
+
+    Hypothesis: the quadratic spline's 1.5-cell support reads faces the
+    reference's one-ring rule leaves at zero, causing surface drag.
+    Measured: wiring rings=2 into step_apic left the spinning-ball L_y
+    decay BIT-IDENTICAL (scripts/diag_apic_rotation.py) — and the reason
+    is structural: the same spline weights define both transfer
+    directions, so every face G2P reads with nonzero weight was itself
+    P2G-weighted and is already valid; extrapolated faces only feed
+    advection/projection, which stay inside the covered region.  The
+    APIC-vs-FLIP L_y gap (0.79 vs 0.85 at t=0.2 s) is instead the
+    per-step full grid re-sampling (spline filtering at the free
+    surface), which FLIP's (1-alpha)=0.95 old-velocity keep shields.
+    Drops the HLSL OOB-counts-as-valid-zero quirk; never-reached faces
+    are 0."""
+    from .common import shift
+
+    g = jnp.where(valid, g, 0.0)
+    for _ in range(rings):
+        num = jnp.zeros(g.shape, jnp.float32)
+        tot = jnp.zeros(g.shape, jnp.float32)
+        for axis in range(3):
+            for s in (-1, 1):
+                nb_ok = shift(valid, axis, s, False)
+                nb_val = shift(g, axis, s, 0.0)
+                num = num + nb_ok
+                tot = tot + jnp.where(nb_ok, nb_val, 0.0)
+        fill = num > 0
+        g = jnp.where(
+            valid, g, jnp.where(fill, tot / jnp.maximum(num, 1.0), 0.0)
+        )
+        valid = valid | fill
+    return g

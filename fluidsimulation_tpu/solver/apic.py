@@ -71,6 +71,11 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
         )
     else:
         u, v, w, uv, vv, wv = p2g_apic(cfg, pos, state.vel, state.C)
+    # One ring like the reference: sufficient by construction — the same
+    # spline weights define both transfer directions, so every face G2P
+    # reads with nonzero weight was itself P2G-weighted (valid); a 2-ring
+    # variant (ops/apic.py::extrapolate_rings) measured bit-identical
+    # spinning-ball L_y decay (scripts/diag_apic_rotation.py).
     u = extrapolate_one_ring(u, uv)
     v = extrapolate_one_ring(v, vv)
     w = extrapolate_one_ring(w, wv)
