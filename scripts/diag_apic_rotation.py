@@ -9,8 +9,18 @@ a vertical axis, and the walls are untouched during the short fall, so
 the physical L_y about the (falling) center of mass is conserved —
 any decay is numerical-method dissipation.
 
-Both solvers see identical initial particles; APIC additionally gets the
-exact affine init C = skew(omega).  Prints L_y(t)/L_y(0) every few steps.
+Three solvers see identical initial particles: the reference PIC/FLIP
+(alpha ~ 0.046 at these parameters), pure PIC (alpha forced to 1 via a
+huge-nu config — the reference's own viscosity-driven alpha formula,
+Simulation.cpp:541), and APIC (which additionally gets the exact affine
+init C = skew(omega)).  Prints L_y(t)/L_y(0) every few steps.
+
+Measured (TPU, 24 steps x dt=1/120): FLIP 0.85 > APIC 0.79 > PIC 0.67 —
+APIC recovers most of pure PIC's re-sampling loss through the affine
+term and sits slightly below FLIP (whose 95% old-velocity keep shields
+free-surface filtering), while being noise-free — the ordering the APIC
+paper reports.  A 2-ring extrapolation variant measured BIT-identical
+(see ops/apic.py::extrapolate_rings for the structural reason).
 
 Usage: python scripts/diag_apic_rotation.py [n_steps]
 """
@@ -67,13 +77,19 @@ def main(n_steps=24):
     print(f"ball: {n} particles, L_y(0) = {ly(pos, vel):.4f}")
     f32 = np.float32
 
-    flip = SimState(
-        pos=pos, vel=vel,
-        u=np.zeros(cfg.u_shape(), f32), v=np.zeros(cfg.v_shape(), f32),
-        w=np.zeros(cfg.w_shape(), f32),
-        phi=np.full(cfg.grid_shape(), np.inf, f32),
-        cache=zero_cache(cfg, n),
-    )
+    def mk_state():
+        return SimState(
+            pos=pos, vel=vel,
+            u=np.zeros(cfg.u_shape(), f32), v=np.zeros(cfg.v_shape(), f32),
+            w=np.zeros(cfg.w_shape(), f32),
+            phi=np.full(cfg.grid_shape(), np.inf, f32),
+            cache=zero_cache(cfg, n),
+        )
+
+    flip = mk_state()
+    # Pure PIC: alpha = clamp(6*dt*nu*cpm^2) -> 1 with nu = 1.
+    cfg_pic = dataclasses.replace(cfg, nu=1.0)
+    pic = mk_state()
     skew = np.array(
         [[0.0, -OMEGA[2], OMEGA[1]],
          [OMEGA[2], 0.0, -OMEGA[0]],
@@ -86,16 +102,20 @@ def main(n_steps=24):
         phi=jnp.full(cfg.grid_shape(), np.inf, f32),
     )
     l0 = ly(pos, vel)
-    print(f"{'step':>4} {'t (s)':>7} {'FLIP Ly/L0':>11} {'APIC Ly/L0':>11}")
+    print(f"{'step':>4} {'t (s)':>7} {'FLIP Ly/L0':>11} {'PIC Ly/L0':>11} "
+          f"{'APIC Ly/L0':>11}")
     for i in range(n_steps + 1):
         if i % 4 == 0:
             print(f"{i:4d} {i*dt:7.3f} {ly(flip.pos, flip.vel)/l0:11.4f} "
+                  f"{ly(pic.pos, pic.vel)/l0:11.4f} "
                   f"{ly(apic.pos, apic.vel)/l0:11.4f}")
         if i == n_steps:
             break
         flip = step_jit(flip, dt, cfg)
+        pic = step_jit(pic, dt, cfg_pic)
         apic = step_apic_jit(apic, dt, cfg)
     assert np.isfinite(np.asarray(flip.vel)).all()
+    assert np.isfinite(np.asarray(pic.vel)).all()
     assert np.isfinite(np.asarray(apic.vel)).all()
 
 
