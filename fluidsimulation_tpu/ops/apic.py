@@ -507,3 +507,101 @@ def extrapolate_rings(g, valid, rings: int = 2):
         )
         valid = valid | fill
     return g
+
+
+def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C):
+    """p2g_apic_from_table restructured as ONE sweep over the UNION window
+    (the celltable.p2g_from_table_fused pattern): cell-indexed accumulators
+    (component face c + e_k stored at cell c) turn all three components'
+    neighborhoods into subsets of the {-1..2}^3 offset cube, of which only
+    54 combos serve >= 1 component (those with >= two axes at +2 serve
+    none) — 54 window reads instead of the unfused form's 108.  Boundary
+    faces (index 0 on the staggered axis) are never accumulated, which is
+    fine: they are forced to 0/valid afterwards, identical semantics."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
+    m = jnp.array([nx, ny, nz], jnp.float32)
+    pc = pos * m
+    slots = table.slots
+    padded = jnp.pad(slots, ((2, 2), (2, 2), (0, 0), (0, 0), (2, 2)))
+
+    cx = jnp.arange(nx, dtype=jnp.float32).reshape(nx, 1, 1, 1)
+    cy = jnp.arange(ny, dtype=jnp.float32).reshape(1, ny, 1, 1)
+    cz = jnp.arange(nz, dtype=jnp.float32).reshape(1, 1, 1, nz)
+    # Face positions (cell units) of the face stored at cell c, per comp:
+    # U: (cx+0.5, cy, cz)  V: (cx, cy+0.5, cz)  W: (cx, cy, cz+0.5).
+    fcoords = [
+        (cx + 0.5, cy, cz),
+        (cx, cy + 0.5, cz),
+        (cx, cy, cz + 0.5),
+    ]
+
+    shp = (nx, ny, nz)
+    accs = [jnp.zeros(shp, jnp.float32) for _ in range(3)]
+    amts = [jnp.zeros(shp, jnp.float32) for _ in range(3)]
+
+    for dx_off in (-1, 0, 1, 2):
+        for dy_off in (-1, 0, 1, 2):
+            for dz_off in (-1, 0, 1, 2):
+                d = (dx_off, dy_off, dz_off)
+                comps = [k for k in range(3)
+                         if all(d[ax] <= 1 for ax in range(3) if ax != k)]
+                if not comps:
+                    continue
+                win = padded[
+                    2 + dx_off: 2 + dx_off + nx,
+                    2 + dy_off: 2 + dy_off + ny,
+                    :, :,
+                    2 + dz_off: 2 + dz_off + nz,
+                ]
+                px = win[:, :, :, 0, :]
+                py = win[:, :, :, 1, :]
+                pz = win[:, :, :, 2, :]
+                present = win[:, :, :, 6, :]
+                for k in comps:
+                    fx, fy, fz = fcoords[k]
+                    ddx = fx - px
+                    ddy = fy - py
+                    ddz = fz - pz
+                    wgt = (_quad_spline(ddx) * _quad_spline(ddy)
+                           * _quad_spline(ddz) * present)
+                    velc = win[:, :, :, 3 + k, :]
+                    c0 = win[:, :, :, 7 + 3 * k, :]
+                    c1 = win[:, :, :, 8 + 3 * k, :]
+                    c2 = win[:, :, :, 9 + 3 * k, :]
+                    val = (velc + c0 * (ddx / m[0]) + c1 * (ddy / m[1])
+                           + c2 * (ddz / m[2]))
+                    accs[k] = accs[k] + (wgt * val).sum(2)
+                    amts[k] = amts[k] + wgt.sum(2)
+
+    out = []
+    for k, shape in ((0, (nx + 1, ny, nz)), (1, (nx, ny + 1, nz)),
+                     (2, (nx, ny, nz + 1))):
+        acc = jnp.zeros(shape, jnp.float32)
+        amt = jnp.zeros(shape, jnp.float32)
+        if k == 0:
+            acc = acc.at[1:, :, :].set(accs[0])
+            amt = amt.at[1:, :, :].set(amts[0])
+        elif k == 1:
+            acc = acc.at[:, 1:, :].set(accs[1])
+            amt = amt.at[:, 1:, :].set(amts[1])
+        else:
+            acc = acc.at[:, :, 1:].set(accs[2])
+            amt = amt.at[:, :, 1:].set(amts[2])
+        acc, amt = _apic_overflow_scatter(
+            cfg, table, pc, vel, C, k, shape, acc, amt
+        )
+        g = acc / jnp.maximum(amt, jnp.float32(1e-30))
+        valid = amt > APIC_WEIGHT_THRESH
+        if k == 0:
+            g = g.at[0, :, :].set(0.0).at[nx, :, :].set(0.0)
+            valid = valid.at[0, :, :].set(True).at[nx, :, :].set(True)
+        elif k == 1:
+            g = g.at[:, 0, :].set(0.0).at[:, ny, :].set(0.0)
+            valid = valid.at[:, 0, :].set(True).at[:, ny, :].set(True)
+        else:
+            g = g.at[:, :, 0].set(0.0).at[:, :, nz].set(0.0)
+            valid = valid.at[:, :, 0].set(True).at[:, :, nz].set(True)
+        out.append((g, valid))
+
+    (u, uv), (v, vv), (w, wv) = out
+    return u, v, w, uv, vv, wv

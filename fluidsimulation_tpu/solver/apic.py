@@ -63,10 +63,12 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
                      packed=True)
     phi, _ = compute_level_set(cfg, pos)
     if fast:
-        from ..ops.apic import build_apic_table, p2g_apic_from_table
+        from ..ops.apic import build_apic_table, p2g_apic_from_table_fused
 
         table = build_apic_table(cfg, pos, state.vel, state.C)
-        u, v, w, uv, vv, wv = p2g_apic_from_table(
+        # Union-window fused form: bit-identical to the unfused windows,
+        # 64.4 vs 70.4 ms at 64^3/953k same-process (54 vs 108 reads).
+        u, v, w, uv, vv, wv = p2g_apic_from_table_fused(
             cfg, table, pos, state.vel, state.C
         )
     else:

@@ -210,3 +210,31 @@ def test_p2g_table_matches_oracle():
             else:
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name)
+
+
+def test_p2g_table_fused_matches_oracle():
+    """The union-window fused P2G (54 windows, cell-indexed accumulators)
+    matches the oracle like the unfused table form."""
+    from fluidsimulation_tpu.ops.apic import (
+        build_apic_table,
+        p2g_apic_from_table_fused,
+    )
+
+    cfg = _cfg(16)
+    pos = _block_particles(cfg, lo=0.2, hi=0.8)
+    n = pos.shape[0]
+    rng = np.random.default_rng(7)
+    vel = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(n, 3, 3)).astype(np.float32) * 3.0)
+
+    ref = p2g_apic(cfg, pos, vel, C)
+    for k in (None, 4):
+        table = build_apic_table(cfg, pos, vel, C, k=k)
+        got = p2g_apic_from_table_fused(cfg, table, pos, vel, C)
+        for a, b, name in zip(got, ref, ("u", "v", "w", "uv", "vv", "wv")):
+            if len(name) == 2:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name)
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name)
