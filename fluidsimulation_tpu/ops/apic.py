@@ -22,12 +22,17 @@ Design notes (TPU-first, correctness tier):
 * Scatter/gather formulations mirror ops/p2g.py's `_scatter_component`
   (27 offsets instead of 8); this tier matches the CPU-twin math exactly
   and is the oracle for the packed fast paths.  Measured on TPU v5e at
-  64^3 / 953k (scripts/bench_apic.py): oracle step 2053 ms; + the
-  packed 9x32-row G2P (g2p_apic_packed) 1382 ms; + the table-window
-  P2G (build_apic_table / p2g_apic_from_table, below) **316 ms** — each
-  removal matching its transaction arithmetic (81N gathers ~0.7 s,
-  162N scatters ~1.4 s).  The remaining 3.4x vs PIC/FLIP's 92 ms is
-  the wider spline windows (36 vs 18 cells) and the 2x-wide table.
+  64^3 / 953k (scripts/bench_apic.py): oracle step 2053 ms; + packed
+  9x32-row G2P (g2p_apic_packed) 1382; + table-window P2G
+  (build_apic_table / p2g_apic_from_table) 316; + fused union windows
+  (p2g_apic_from_table_fused, bit-identical, 54 vs 108 reads) and
+  table-reused level-set seeding (the ApicTable is field-compatible
+  with CellTable seeding) **224 ms** — 9.2x over the oracle tier.  Each
+  removal matched its transaction arithmetic (81N gathers ~0.7 s, 162N
+  scatters ~1.4 s, direct seed ~44 ms).  The remaining 2.4x vs
+  PIC/FLIP's 92 ms: wider spline windows (36 vs 18 cells), 2x-wide
+  table, and no carried advect cache yet (the G2P output IS next
+  step's RK3 stage 1 — the FLIP cache trick applies; round-4 lever).
 
 Exactness property (tested): affine velocity fields v(x) = v0 + A(x-x0)
 round-trip P2G -> G2P unchanged (quadratic B-splines reproduce linears),

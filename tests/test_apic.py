@@ -238,3 +238,56 @@ def test_p2g_table_fused_matches_oracle():
             else:
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name)
+
+
+def test_apic_table_seeding_matches_celltable():
+    """ApicTable's 16-field slots are layout-compatible with CellTable for
+    the level-set seeding fields (0-2 = pc, 6 = present): seeding from
+    either table is bit-identical, and the fast step's phi matches the
+    slow step's at the usual fast/slow tolerance."""
+    from fluidsimulation_tpu.ops.apic import build_apic_table
+    from fluidsimulation_tpu.ops.celltable import (
+        build_cell_table,
+        seed_closest_from_table,
+        seed_overflow_correction,
+    )
+    from fluidsimulation_tpu.ops.levelset import FAR
+
+    cfg = _cfg(16)
+    pos = _block_particles(cfg, lo=0.2, hi=0.8)
+    n = pos.shape[0]
+    rng = np.random.default_rng(9)
+    vel = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    C = jnp.zeros((n, 3, 3), jnp.float32)
+
+    ta = build_apic_table(cfg, pos, vel, C)
+    tc = build_cell_table(cfg, pos, vel)
+    pa, ca = seed_closest_from_table(cfg, ta, FAR)
+    pc_, cc = seed_closest_from_table(cfg, tc, FAR)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc_))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cc))
+    pa2, ca2 = seed_overflow_correction(cfg, ta, pos, pa, ca)
+    pc2, cc2 = seed_overflow_correction(cfg, tc, pos, pc_, cc)
+    np.testing.assert_array_equal(np.asarray(pa2), np.asarray(pc2))
+    np.testing.assert_array_equal(np.asarray(ca2), np.asarray(cc2))
+
+
+def test_step_apic_fast_matches_slow():
+    """One fast step vs one slow (oracle transfer + direct level set) step
+    from the same state: fields agree to fast/slow tolerance."""
+    from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic
+
+    cfg = _cfg(16)
+    s = init_apic_state(cfg)
+    import jax
+
+    f = jax.jit(lambda st: step_apic(st, 0.01, cfg, fast=True))(s)
+    g = jax.jit(lambda st: step_apic(st, 0.01, cfg, fast=False))(s)
+    np.testing.assert_allclose(np.asarray(f.pos), np.asarray(g.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f.vel), np.asarray(g.vel),
+                               atol=1e-4)
+    fin = np.isfinite(np.asarray(g.phi))
+    np.testing.assert_allclose(np.asarray(f.phi)[fin],
+                               np.asarray(g.phi)[fin], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f.C), np.asarray(g.C), atol=0.05)
