@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..core.config import SimConfig
 from ..core.state import init_state
 from ..ops.advect import advect_rk3
+from ..ops.blur import blur_phi
 from ..ops.apic import g2p_apic, g2p_apic_packed, p2g_apic
 from ..ops.extrapolate import extrapolate_one_ring
 from ..ops.forces import add_gravity
@@ -110,6 +111,8 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
     u, v, w, _ = project(cfg, u, v, w, phi, dt)
     g2p = g2p_apic_packed if fast else g2p_apic
     vel, C = g2p(cfg, pos, u, v, w)
+    # Cosmetic pre-render blur like the reference/FLIP step (gpBlur).
+    phi = blur_phi(phi)
     return ApicState(pos=pos, vel=vel, C=C, u=u, v=v, w=w, phi=phi)
 
 
