@@ -72,3 +72,39 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
     state = dataclasses.replace(state, cache=None)
     sh = state_shardings(mesh)
     return jax.tree.map(jax.device_put, state, sh)
+
+
+# -- APIC extension family (solver/apic.py) ---------------------------------
+
+def apic_state_shardings(mesh: Mesh):
+    """ApicState shardings: SimState layout + data-parallel C rows."""
+    from ..solver.apic import ApicState
+
+    ns = lambda spec: NamedSharding(mesh, spec)
+    return ApicState(
+        pos=ns(P(AXIS, None)),
+        vel=ns(P(AXIS, None)),
+        C=ns(P(AXIS, None, None)),
+        u=ns(P(None, AXIS, None)),
+        v=ns(P(None, None, AXIS)),
+        w=ns(P(None, AXIS, None)),
+        phi=ns(P(None, AXIS, None)),
+    )
+
+
+def make_sharded_apic_step(cfg: SimConfig, mesh: Mesh, fast: bool = True):
+    """Jitted APIC step(state, dt) with sharded inputs/outputs (GSPMD
+    auto-partitioning, like make_sharded_step for the PIC/FLIP family)."""
+    from ..solver.apic import step_apic
+
+    sh = apic_state_shardings(mesh)
+    return jax.jit(
+        functools.partial(step_apic, cfg=cfg, fast=fast),
+        in_shardings=(sh, None),
+        out_shardings=sh,
+    )
+
+
+def shard_apic_state(state, mesh: Mesh):
+    sh = apic_state_shardings(mesh)
+    return jax.tree.map(jax.device_put, state, sh)

@@ -113,3 +113,28 @@ def test_shard_map_halo_sor_matches_single(mesh):
     want = project.sor_pressure(CFG, phi, diag, b, use_pallas=False)
     got = sor_pressure_sharded(CFG, mesh, phi, diag, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_apic_step_matches_single(mesh):
+    """The APIC extension family also runs GSPMD-sharded (fast=False: the
+    table fast path's windowed build is single-chip; the oracle transfer
+    partitions cleanly)."""
+    from fluidsimulation_tpu.parallel.sharding import (
+        make_sharded_apic_step,
+        shard_apic_state,
+    )
+    from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
+
+    state = init_apic_state(CFG)
+    want = step_apic_jit(state, 0.01, CFG, fast=False)
+    sharded = shard_apic_state(init_apic_state(CFG), mesh)
+    got = make_sharded_apic_step(CFG, mesh, fast=False)(sharded, 0.01)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.C), np.asarray(want.C),
+                               atol=0.05)
+    fin = np.isfinite(np.asarray(want.phi))
+    np.testing.assert_allclose(np.asarray(got.phi)[fin],
+                               np.asarray(want.phi)[fin], atol=1e-4)
