@@ -18,15 +18,13 @@ chip, 8 chips put the exact 2-bounce frame at interactive rates, and the
 sim+render loop can overlap the step (chip set A) with the frame (set B).
 
 Equality: each tile runs the identical compiled program the single-chip
-tiled renderer runs, so the image matches `render()`'s tiled pathexactly
+tiled renderer runs, so the image matches `render()`'s tiled path exactly
 per tile (bit-equal on the 8-device CPU mesh, tests/test_render_sharded.py);
 only the scan grouping differs.  Tile-count padding renders the (0,0)
 tile redundantly on the padding slots and drops it on reassembly.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ existing SimState paths (checkpoint, halo step, demo) are untouched.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

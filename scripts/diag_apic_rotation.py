@@ -24,7 +24,7 @@ paper reports.  A 2-ring extrapolation variant measured BIT-identical
 
 Usage: python scripts/diag_apic_rotation.py [n_steps]
 """
-import sys, time
+import sys
 sys.path.insert(0, ".")
 import dataclasses
 

@@ -7,7 +7,7 @@ quirk is grid-size dependent.
 
 Usage: python scripts/diag_render256.py [grid] [n_steps]
 """
-import sys, time
+import sys
 sys.path.insert(0, ".")
 import jax
 import numpy as np
