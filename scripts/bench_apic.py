@@ -1,11 +1,11 @@
-"""APIC stepper timing at 64^3 / 953k (the reference demo config).
+"""APIC stepper timing (default: the reference demo config, 64^3/953k).
 
-The APIC pair (ops/apic.py) is the correctness-tier scatter/gather
-formulation (27 spline nodes x 3 components each way); this records its
-real cost next to the PIC/FLIP fast path so the docs stay honest about
-the tier difference.
+Measured round 3 (TPU v5e): 64^3/953k 224 ms/step; 128^3/ppc1/1.0M
+265 ms/step (the flagship bench grid; vs 104-113 ms PIC/FLIP) — the
+structural gap is the 36-vs-18-cell spline windows and 2x-wide table
+(docs/PERF.md "APIC extension stage attribution").
 
-Usage: python scripts/bench_apic.py [n_steps]
+Usage: python scripts/bench_apic.py [n_steps] [grid] [ppc]
 """
 import sys, time
 sys.path.insert(0, ".")
@@ -17,8 +17,9 @@ from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
 from fluidsimulation_tpu.solver.step3d import clamp_dt
 
 
-def main(n_steps=5):
-    cfg = SimConfig()  # 64^3, ppc2 -> 953,312 particles
+def main(n_steps=5, grid=64, ppc=2):
+    cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
+                    particles_per_cell_axis=ppc)
     dt = clamp_dt(cfg, 1 / 60, simulation_rate=0.5)
     s = jax.device_put(init_apic_state(cfg))
     s = step_apic_jit(s, dt, cfg)
@@ -35,9 +36,10 @@ def main(n_steps=5):
         best = max(best, n_steps / (time.perf_counter() - t0))
     assert np.isfinite(np.asarray(s.vel)).all()
     assert np.isfinite(np.asarray(s.C)).all()
-    print(f"apic step (64^3 / {cfg.num_particles}p): "
+    print(f"apic step ({grid}^3 / {cfg.num_particles}p): "
           f"{1000/best:.1f} ms = {best:.2f} steps/s (best of 2x{n_steps})")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5)
+    args = [int(a) for a in sys.argv[1:4]]
+    main(*args)
