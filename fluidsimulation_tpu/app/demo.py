@@ -157,13 +157,11 @@ def main(argv=None):
 
     if args.transfer == "apic":
         from ..solver.apic import init_apic_state, step_apic_jit
+        from ..utils.profiling import profile_step_apic
 
-        if args.profile:
-            ap.error("--profile is PIC/FLIP-only (the 23-mark table maps "
-                     "the reference pipeline); drop it with --transfer apic")
-        _init, _step = init_apic_state, step_apic_jit
+        _init, _step, _profile = init_apic_state, step_apic_jit, profile_step_apic
     else:
-        _init, _step = init_state, step_jit
+        _init, _step, _profile = init_state, step_jit, profile_step
     state = _init(cfg)
     cam = OrbitCamera()
     rate = args.rate
@@ -225,7 +223,7 @@ def main(argv=None):
             return img
 
         if args.profile:
-            state, prof = profile_step(
+            state, prof = _profile(
                 state, dt, cfg, render_fn=draw if do_render else None
             )
             print(prof.table())

@@ -302,3 +302,98 @@ def profile_step(
         prof.timed("DRAW", render_fn, new_state)
     prof.timed("END_FRAME", lambda: new_state)
     return new_state, prof
+
+
+def _apic_seed_stage(cfg, use_pallas, table, pos):
+    from ..ops.celltable import seed_closest_from_table, seed_overflow_correction
+    from ..ops.levelset import FAR, neighborhood_pass
+
+    phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
+    phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
+    if use_pallas:
+        from ..ops.pallas_seed import neighborhood_pass_pallas
+
+        return neighborhood_pass_pallas(cfg, cpos0)
+    return neighborhood_pass(cfg, cpos0)
+
+
+def _apic_sweep_stage(cfg, use_pallas, phi, cpos):
+    from ..ops.levelset import sweep_closest
+
+    if use_pallas:
+        from ..ops.pallas_sweep import sweep_closest_pallas, sweeps_fit_vmem
+
+        if sweeps_fit_vmem(cfg):
+            return sweep_closest_pallas(cfg, phi, cpos)
+    return sweep_closest(cfg, phi, cpos)
+
+
+def profile_step_apic(state, dt, cfg: SimConfig, render_fn=None):
+    """profile_step for the APIC extension stepper (solver/apic.py):
+    the same 23 mark names, with the APIC pipeline's stages mapped onto
+    them (TRANSFERPTG_BIN = the 16-field table build, TRANSFERPTG_VELOCITY
+    = the fused spline-window P2G, FLIP_APPLY = the packed APIC G2P; the
+    FLIP old-grid snapshot mark FLIP_COPYVELOCITIES reports 0 — APIC has
+    no old-grid).  Stage routing matches step_apic(fast=True) exactly."""
+    from ..ops import blur, extrapolate, forces, project
+    from ..ops.advect import advect_rk3
+    from ..ops.apic import (
+        build_apic_table,
+        g2p_apic_packed,
+        p2g_apic_from_table_fused,
+    )
+    from ..solver.apic import ApicState
+    from ..solver.step3d import use_pallas_kernels
+
+    prof = StageProfiler()
+    dt = jnp.float32(dt)
+    use_pallas = use_pallas_kernels(cfg)
+
+    pos = prof.timed(
+        "ADVECT", _jitted(advect_rk3),
+        cfg, state.u, state.v, state.w, state.pos, dt,
+    )
+    table = prof.timed(
+        "TRANSFERPTG_BIN", _jitted(build_apic_table),
+        cfg, pos, state.vel, state.C,
+    )
+    phi0, cpos0 = prof.timed(
+        "TRANSFERPTG_LEVELSET_ZERO", _jitted2(_apic_seed_stage),
+        cfg, use_pallas, table, pos,
+    )
+    phi, _ = prof.timed(
+        "TRANSFERPTG_LEVELSET_SWEEP", _jitted2(_apic_sweep_stage),
+        cfg, use_pallas, phi0, cpos0,
+    )
+    u, v, w, uv, vv, wv = prof.timed(
+        "TRANSFERPTG_VELOCITY", _jitted(p2g_apic_from_table_fused),
+        cfg, table, pos, state.vel, state.C,
+    )
+    ex = _jitted_nostatic(extrapolate.extrapolate_one_ring)
+    u = prof.timed("TRANSFERPTG_VELOCITY_EXTRAPOLATE", lambda: (ex(u, uv)))
+    v = _block(ex(v, vv))
+    w = _block(ex(w, wv))
+    v = prof.timed("BODYFORCES", _jitted(forces.add_gravity), cfg, v, dt)
+    b = prof.timed(
+        "PROJECT_RHS", _jitted(project.compute_rhs), cfg, u, v, w, dt
+    )
+    diag = prof.timed(
+        "PROJECT_DIAGCOEFFS", _jitted(project.compute_diag), cfg, phi
+    )
+    p = prof.timed(
+        "PROJECT_SOR", _jitted(project.sor_pressure), cfg, phi, diag, b
+    )
+    u, v, w = prof.timed(
+        "PROJECT_TOVELOCITY", _jitted(project.apply_pressure),
+        cfg, u, v, w, p, phi, dt,
+    )
+    vel, C = prof.timed(
+        "FLIP_APPLY", _jitted(g2p_apic_packed), cfg, pos, u, v, w
+    )
+    phi = prof.timed("BLURLEVELSET", _jitted_nostatic(blur.blur_phi), phi)
+
+    new_state = ApicState(pos=pos, vel=vel, C=C, u=u, v=v, w=w, phi=phi)
+    if render_fn is not None:
+        prof.timed("DRAW", render_fn, new_state)
+    prof.timed("END_FRAME", lambda: new_state)
+    return new_state, prof
