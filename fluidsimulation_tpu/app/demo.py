@@ -248,9 +248,11 @@ def main(argv=None):
 
     if args.save_state:
         if args.transfer == "apic":
-            np.savez(os.path.join(args.out, "final_state.npz"),
-                     **{k: np.asarray(getattr(state, k))
-                        for k in ("pos", "vel", "C", "u", "v", "w", "phi")})
+            from ..utils.checkpoint import save_apic_state
+
+            save_apic_state(
+                os.path.join(args.out, "final_state.npz"), state, cfg
+            )
         else:
             save_state(os.path.join(args.out, "final_state.npz"), state, cfg)
     print(meter.summary())

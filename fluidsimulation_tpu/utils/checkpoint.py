@@ -89,3 +89,39 @@ def export_particles_tsv(path: str, pos: np.ndarray, vel: np.ndarray) -> None:
 def l2_norm_diff(a: np.ndarray, b: np.ndarray) -> float:
     """ComputeL2Norm (debugroutines.h:153): cross-implementation diffing."""
     return float(np.sqrt(((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2).sum()))
+
+
+# -- APIC extension family ---------------------------------------------------
+
+_APIC_FIELDS = ("pos", "vel", "C", "u", "v", "w", "phi")
+
+
+def save_apic_state(path: str, state, cfg: SimConfig | None = None) -> None:
+    """save_state for solver/apic.py::ApicState (adds the C rows)."""
+    arrays = {k: np.asarray(getattr(state, k)) for k in _APIC_FIELDS}
+    if cfg is not None:
+        arrays["_cfg"] = np.array(
+            [cfg.nx, cfg.ny, cfg.nz, cfg.cells_per_meter], np.float64
+        )
+    np.savez_compressed(path, **arrays)
+
+
+def load_apic_state(path: str, cfg: SimConfig | None = None):
+    from ..solver.apic import ApicState
+
+    with np.load(path) as z:
+        state = ApicState(**{k: z[k] for k in _APIC_FIELDS})
+        if cfg is not None:
+            if "_cfg" in z:
+                stored = tuple(z["_cfg"])
+                want = (cfg.nx, cfg.ny, cfg.nz, cfg.cells_per_meter)
+                if stored != tuple(float(x) for x in want):
+                    raise ValueError(
+                        f"checkpoint cfg {stored} != requested {want}"
+                    )
+            if state.phi.shape != cfg.grid_shape():
+                raise ValueError(
+                    f"checkpoint phi shape {state.phi.shape} != "
+                    f"cfg grid {cfg.grid_shape()}"
+                )
+    return state

@@ -10,6 +10,7 @@ Key analytic properties of the quadratic-B-spline APIC pair:
  * the full stepper runs and behaves physically on a small dam break.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -291,3 +292,29 @@ def test_step_apic_fast_matches_slow():
     np.testing.assert_allclose(np.asarray(f.phi)[fin],
                                np.asarray(g.phi)[fin], atol=1e-4)
     np.testing.assert_allclose(np.asarray(f.C), np.asarray(g.C), atol=0.05)
+
+
+def test_apic_checkpoint_roundtrip(tmp_path):
+    from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
+    from fluidsimulation_tpu.utils.checkpoint import (
+        load_apic_state,
+        save_apic_state,
+    )
+
+    cfg = _cfg(16)
+    s = step_apic_jit(init_apic_state(cfg), 0.01, cfg)
+    path = str(tmp_path / "apic.npz")
+    save_apic_state(path, s, cfg)
+    r = load_apic_state(path, cfg)
+    for k in ("pos", "vel", "C", "u", "v", "w", "phi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r, k)), np.asarray(getattr(s, k)), err_msg=k)
+    # resume steps
+    r2 = step_apic_jit(
+        jax.tree.map(jnp.asarray, r), 0.01, cfg
+    )
+    assert bool(jnp.isfinite(r2.vel).all())
+    # cfg mismatch raises
+    import pytest
+    with pytest.raises(ValueError):
+        load_apic_state(path, _cfg(8))
