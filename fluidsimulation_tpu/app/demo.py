@@ -72,6 +72,10 @@ def _main_2d(args):
     )
     os.makedirs(args.out, exist_ok=True)
     print(f"2D grid {cfg.nx}x{cfg.ny}, {cfg.num_particles} particles")
+    if getattr(args, "transfer", "flip") == "apic":
+        from ..solver.apic2d import init_apic_state2d, step_apic2d_jit
+
+        init_state2d, step2d_jit = init_apic_state2d, step_apic2d_jit
     state = init_state2d(cfg)
     rate = args.rate
     meter = Meter(cfg.num_particles)
