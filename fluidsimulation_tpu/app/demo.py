@@ -103,6 +103,9 @@ def main(argv=None):
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--grid", type=int, default=64, help="cubic grid size (demo: 64)")
     ap.add_argument("--steps", type=int, default=60)
