@@ -138,6 +138,14 @@ def main(argv=None):
         "vs 318 ms at 128^3 on a mid-collapse scene (docs/PERF.md)",
     )
     ap.add_argument(
+        "--sphere-trace", action="store_true",
+        help="sphere-trace skip on the inside water march (deepened march "
+        "texture, render/interior.py::deepen_phi): jumps |phi| cells per "
+        "probe using the row already fetched — measured bit-identical on "
+        "the demo scenes at the certified margin, ~10%% faster on "
+        "deep-water frames (docs/PERF.md round 4)",
+    )
+    ap.add_argument(
         "--transfer", choices=("flip", "apic"), default="flip",
         help="transfer model: the reference's hybrid PIC/FLIP (default) "
         "or the APIC extension (affine particle-in-cell, quadratic "
@@ -221,7 +229,8 @@ def main(argv=None):
                 br = 100 if max(s.phi.shape) >= 128 else 64
                 img = render_frame(s.phi, co, right, up, fwd,
                                    width=w, height=h, band_rows=br,
-                                   bounces=args.bounces)
+                                   bounces=args.bounces,
+                                   sphere_trace=args.sphere_trace)
             out = np.asarray(img)
             if k > 1:
                 out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)

@@ -70,6 +70,22 @@ def l1_distance_to_nonneg(phi):
     return f
 
 
+def deepen_phi(phi, buffer: float = 3.0):
+    """Fold a certified interior Euclidean distance into phi for the MARCH
+    texture (round 4, VERDICT r3 item 1): nodes deeper than ``buffer``
+    cells (L1/sqrt3-certified Euclidean lower bound) get
+    phi := -(L1/sqrt3).  Inside the fluid the raw phi saturates at about
+    -particle_radius (module docstring) and the fixed inside march uses
+    interior samples only through their SIGN — deepened values stay
+    strictly negative, so exits, the backward refine and surface gradients
+    (whose sample supports sit within ~2.3 cells of the surface, inside
+    the buffer) are untouched, while the sphere-trace skip in
+    intersect_water reads a real distance from the row it already
+    gathered.  Returned field is in cell units like phi."""
+    d = l1_distance_to_nonneg(phi) * jnp.float32(_INV_SQRT3)
+    return jnp.where(d >= jnp.float32(buffer), -d, phi)
+
+
 def corner_min8(d):
     """d8[cell] = min over the cell's 2x2x2 corner nodes; shape (n-1,)^3."""
     for axis in range(3):

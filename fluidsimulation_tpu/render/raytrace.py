@@ -591,8 +591,24 @@ def trace_glass(co, ci):
 
 # -- water intersection ------------------------------------------------------
 
+# Sphere-trace-skip defaults (intersect_water ``sphere`` mode): the inside
+# march jumps k = floor((d_cells - MARGIN) * SCALE) lattice steps using the
+# distance sample it ALREADY fetched.  Raw phi saturates at about
+# -particle_radius inside the fluid (it is distance-to-nearest-particle
+# minus radius — interior.py docstring), so the march texture must be
+# DEEPENED first (interior.deepen_phi folds the certified L1/sqrt3 interior
+# distance into deep nodes; render(sphere_trace=True) does this).  With the
+# deepened texture d_cells is a Euclidean-certified cell distance; the
+# margin absorbs the trilerp support radius (sqrt3), the warp wobble
+# (~0.5), the one-probe-behind skip position (1) and the raw-phi overclaim
+# in mixed support (<0.86) — see docs/PERF.md round 4 for the measured
+# pixel-diff bound.
+SPHERE_MARGIN = 4.0
+SPHERE_SCALE = 1.0
+
+
 def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
-                    probe2=None, margin=None):
+                    probe2=None, margin=None, sphere=None):
     """Render.fx:358-424.  Returns (p_shifted, t), or with ``stats=True``
     (a trace-time flag for the md-transaction floor analysis in
     docs/PERF.md; default path is unchanged) (p_shifted, t, rows) where
@@ -622,6 +638,18 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
     t = n*step is exact in f32, so results are bit-identical.  margin is
     TRACED: the same compiled program with margin=+inf IS the no-skip
     march (how bit-equality is asserted, tests/test_interior.py).
+
+    ``sphere``: (margin_cells, scale, spec) — sphere-trace skip for the
+    inside forward march with NO auxiliary texture: the skip distance is
+    the last distance sample the march already consumed (phi ~ signed
+    distance in cell units), k = floor((-dt/step - margin) * scale)
+    lattice steps per speculative block, probes stay lattice-aligned.
+    scale=0 reproduces the exact march bit-for-bit (how equality is
+    tested); nonzero scales can in principle step past sub-cell features
+    the 1-cell reference march would also need luck to see — shipped as a
+    mode with a measured pixel-diff bound (docs/PERF.md round 4).  spec is
+    the static probes-per-block count (the default _SPEC elsewhere).
+    Mutually exclusive with probe2.
     """
     p0 = co + 0.5
     initial = md(p0)
@@ -672,6 +700,15 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
         from .interior import _SKIP_MARGIN
 
         margin = jnp.float32(_SKIP_MARGIN)
+    use_sphere = sphere is not None
+    if use_sphere:
+        assert not use_skip, "sphere and probe2 skips are mutually exclusive"
+        sp_margin, sp_scale, spec = sphere
+        sp_margin = jnp.float32(sp_margin)
+        sp_scale = jnp.float32(sp_scale)
+        assert 128 % spec == 0
+    else:
+        spec = _SPEC
 
     def run_inside(_):
         step = inv_m0
@@ -691,11 +728,19 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
             # multiples of step on power-of-two grids, so the skipped
             # lanes land on bit-identical probe positions.  With
             # margin = +inf, k == 0 and t/p are unchanged exactly.
-            if use_skip:
+            if use_skip or use_sphere:
                 cont = ~(exited | boxed) & (i < 128)
-                k = jnp.floor(
-                    (d8 - margin) * jnp.float32(0.57735026)
-                ).astype(jnp.int32)
+                if use_skip:
+                    k = jnp.floor(
+                        (d8 - margin) * jnp.float32(0.57735026)
+                    ).astype(jnp.int32)
+                else:
+                    # d8 carries the last consumed distance sample (world
+                    # units, negative inside); -d8/step is cells to the
+                    # (warped) surface per the SDF property.
+                    k = jnp.floor(
+                        ((-d8) / step - sp_margin) * sp_scale
+                    ).astype(jnp.int32)
                 k = jnp.minimum(k, 127 - i)
                 k_box = jnp.floor((max_t - t) / step).astype(jnp.int32) - 2
                 k = jnp.maximum(jnp.minimum(k, k_box), 0)
@@ -719,16 +764,16 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
             # bit-identical.
             ps = [p]
             ts = [t]
-            for j in range(1, _SPEC):
+            for j in range(1, spec):
                 t_j = ts[-1] + step
                 ts.append(t_j)
                 ps.append(p0 + t_j[..., None] * ci)
-            pstack = jnp.stack(ps, axis=0)  # (_SPEC, *batch, 3)
+            pstack = jnp.stack(ps, axis=0)  # (spec, *batch, 3)
             if use_skip:
                 dts, d8s = probe2(pstack)
             else:
-                dts = md(pstack)  # (_SPEC, *batch)
-            for j in range(_SPEC):
+                dts = md(pstack)  # (spec, *batch)
+            for j in range(spec):
                 active = ~(exited | boxed) & (i + j < 128)
                 dt = dts[j]
                 t2 = ts[j] + step
@@ -743,9 +788,13 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
                     d8 = jnp.where(
                         active & ~exit_now & ~box_now, d8s[j], d8
                     )
+                elif use_sphere:
+                    d8 = jnp.where(
+                        active & ~exit_now & ~box_now, dts[j], d8
+                    )
                 exited = exited | exit_now
                 boxed = boxed | box_now
-            return i + _SPEC, p, t, i_exit, exited, boxed, d8, nb + 1
+            return i + spec, p, t, i_exit, exited, boxed, d8, nb + 1
 
         init = (
             jnp.zeros(max_t.shape, jnp.int32),
@@ -786,7 +835,7 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
         # Box-exit early return: point exactly at the box edge.
         p_i = jnp.where(boxed[..., None], p0 + max_t[..., None] * ci, p_i)
         t_i = jnp.where(boxed, max_t, t_i)
-        return p_i, t_i, n_fwd * _SPEC, k_bwd
+        return p_i, t_i, n_fwd * spec, k_bwd
 
     p_i, t_i, fwd_iters, bwd_iters = jax.lax.cond(
         jnp.any(~outside & ~junk),
@@ -832,7 +881,7 @@ def trace_water0(co, ci):
 
 
 def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
-                   probe2=None, margin=None):
+                   probe2=None, margin=None, sphere=None):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
@@ -850,15 +899,22 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
     if stats:
         p_hit, t_hit, md_rows = intersect_water(
             md, inv_m0, co, ci, max_t, dead=dead, stats=True, probe2=probe2,
-            margin=margin)
+            margin=margin, sphere=sphere)
     else:
         p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead,
-                                       probe2=probe2, margin=margin)
+                                       probe2=probe2, margin=margin,
+                                       sphere=sphere)
     ipoint = p_hit - 0.5
     # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
     # an epsilon-escaped bounce child: forward it as a miss (the reference's
     # per-pixel short-circuit to traceWater0) instead of marching it.
-    missed = (t_hit >= max_t) | (max_t >= LARGE)
+    # max_t <= 0 is the box BEHIND the ray (a child whose 0.001 epsilon step
+    # escaped through the top face): marching it samples the level set at
+    # CLAMPED out-of-box coordinates and its first (negative) sample value
+    # leaks into t — the reference never marches these (it short-circuits
+    # misses), so they forward as misses here too (round 4; previously they
+    # produced a spurious clamped-sample "hit" on ~0.5% of pixels).
+    missed = (t_hit >= max_t) | (max_t >= LARGE) | (max_t <= 0.0)
 
     # Surface normal: the Phi9 texture computes all four forward-difference
     # taps from ONE row gather (bit-identical arithmetic — see
@@ -888,7 +944,7 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
 
 
 def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
-                 margin=None):
+                 margin=None, sphere=None):
     """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
     Render.fx:442-515), restructured as *batched* levels: each bounce level
     concatenates its child rays and traces them in one call (4 leaf rays per
@@ -902,14 +958,14 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     shape = co.shape
 
     r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats,
-                        probe2=probe2, margin=margin)
+                        probe2=probe2, margin=margin, sphere=sphere)
     ip1, d_a, w_a, d_b, w_b = r1[:5]
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
     r2 = _expand_bounce(md, inv_m0, co2, d2, w=w2, g9=g9, stats=stats,
-                        probe2=probe2, margin=margin)
+                        probe2=probe2, margin=margin, sphere=sphere)
     ip2, d_c, w_c, d_d, w_d = r2[:5]
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
@@ -924,11 +980,11 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     return out
 
 
-def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None):
+def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None):
     """1-bounce variant (traceWater1), kept for API parity."""
     shape = co.shape
     ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9,
-                                             probe2=probe2)
+                                             probe2=probe2, sphere=sphere)
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
@@ -939,7 +995,7 @@ def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None):
 # -- top-level pixel shader --------------------------------------------------
 
 def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
-          skip_margin=None):
+          skip_margin=None, sphere=None):
     """PS main (Render.fx:518-578) for ray batches.
 
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
@@ -953,7 +1009,10 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
     ``bounces``: water-bounce recursion depth — 2 is the reference's PS
     main (traceWater2); 1/0 select the reference's lower tiers
     (traceWater1/traceWater0, Render.fx:442-515) as cheaper quality
-    levels."""
+    levels.
+    ``sphere``: (margin_cells, scale, spec) sphere-trace skip for the
+    inside march (see intersect_water) — zero extra gathers; scale=0 is
+    the exact march bit-for-bit."""
     if isinstance(phi, PackedPhi8):
         tex = phi
         md = lambda p: map_dist_packed8(tex, p)
@@ -975,12 +1034,12 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
     if bounces >= 2:
         col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9,
                                  stats=stats, probe2=probe2,
-                                 margin=skip_margin)
+                                 margin=skip_margin, sphere=sphere)
         if stats:
             col_water, st = col_water
     elif bounces == 1:
         col_water = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9,
-                                 probe2=probe2)
+                                 probe2=probe2, sphere=sphere)
     else:
         col_water = trace_water0(prim_co, prim_ci)
     col_sky = sample_environment(ci)
@@ -999,11 +1058,15 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w", "bounces")
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "bounces",
+                     "sphere_spec"),
 )
 def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int, y0, x0,
-                 g9=None, bounces: int = 2, texs=None):
+                 g9=None, bounces: int = 2, texs=None,
+                 sphere_margin=None, sphere_scale=None,
+                 sphere_spec: int | None = None):
     """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
     px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
     py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
@@ -1012,15 +1075,24 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
     v = 1.0 - 2.0 * fy
     ci = _norm(u[..., None] * cam_right + v[..., None] * cam_up + cam_fwd)
     co = jnp.broadcast_to(cam_pos, ci.shape)
-    return shade(tex, co, ci, g9=g9, bounces=bounces, texs=texs)
+    sphere = (
+        None if sphere_spec is None
+        else (sphere_margin, sphere_scale, sphere_spec)
+    )
+    return shade(tex, co, ci, g9=g9, bounces=bounces, texs=texs,
+                 sphere=sphere)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_h", "tile_w", "bounces")
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "bounces",
+                     "sphere_spec"),
 )
 def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int,
-                 g9=None, bounces: int = 2, texs=None):
+                 g9=None, bounces: int = 2, texs=None,
+                 sphere_margin=None, sphere_scale=None,
+                 sphere_spec: int | None = None):
     """All tiles under ONE compiled program (lax.scan over tile origins):
     keeps the per-tile whole-batch early exits while paying dispatch
     overhead once (measured ~3 ms per dispatch through the axon tunnel —
@@ -1035,6 +1107,8 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, tile_h, tile_w, yx[0], yx[1], g9=g9,
             bounces=bounces, texs=texs,
+            sphere_margin=sphere_margin, sphere_scale=sphere_scale,
+            sphere_spec=sphere_spec,
         )
         return 0, img
 
@@ -1045,7 +1119,9 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
 
 def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
            band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
-           interior_skip: bool = False):
+           interior_skip: bool = False, sphere_trace: bool = False,
+           sphere_margin: float = SPHERE_MARGIN,
+           sphere_scale: float = SPHERE_SCALE, sphere_spec: int = _SPEC):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
@@ -1069,22 +1145,39 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     the interior.PackedPhiSkip texture so the inside forward march jumps
     provably-interior lattice steps — bit-identical image, fewer march
     iterations (the win scales with water thickness; see docs/PERF.md).
+
+    ``sphere_trace``: sphere-trace skip on the inside march using the
+    distance samples the march already fetched (no auxiliary texture, no
+    extra gathers).  Approximate — measured pixel-diff bound in
+    docs/PERF.md round 4; scale=0 reproduces the exact march.
     """
     if isinstance(phi, (PackedPhi, PackedPhi8)):
         tex, g9, texs = phi, None, None
     else:
-        tex = PackedPhi(phi)
+        if sphere_trace:
+            from .interior import deepen_phi
+
+            # March texture carries the folded interior distance; the
+            # gradient texture keeps the raw phi (its taps never touch
+            # deepened nodes anyway — buffer 3 > tap support ~2.3 cells).
+            tex = PackedPhi(deepen_phi(phi))
+        else:
+            tex = PackedPhi(phi)
         g9 = PackedPhi9(phi) if gradient_fits_phi9(phi.shape) else None
         texs = None
         if interior_skip and all((d & (d - 1)) == 0 for d in phi.shape):
             from .interior import PackedPhiSkip
 
             texs = PackedPhiSkip(phi)
+    sm = jnp.float32(sphere_margin) if sphere_trace else None
+    sc = jnp.float32(sphere_scale) if sphere_trace else None
+    sp = sphere_spec if sphere_trace else None
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, height, width, jnp.float32(0), jnp.float32(0),
             g9=g9, bounces=bounces, texs=texs,
+            sphere_margin=sm, sphere_scale=sc, sphere_spec=sp,
         )
     tile_h = band_rows if 0 < band_rows <= height else height
     tile_w = band_cols if 0 < band_cols <= width else (
@@ -1093,18 +1186,23 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     return _render_scan(
         tex, cam_pos, cam_right, cam_up, cam_fwd,
         width, height, tile_h, tile_w, g9=g9, bounces=bounces, texs=texs,
+        sphere_margin=sm, sphere_scale=sc, sphere_spec=sp,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "band_rows", "band_cols", "bounces",
-                     "interior_skip"),
+                     "interior_skip", "sphere_trace", "sphere_margin",
+                     "sphere_scale", "sphere_spec"),
 )
 def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  width: int, height: int,
                  band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
-                 interior_skip: bool = False):
+                 interior_skip: bool = False, sphere_trace: bool = False,
+                 sphere_margin: float = SPHERE_MARGIN,
+                 sphere_scale: float = SPHERE_SCALE,
+                 sphere_spec: int = _SPEC):
     """One fully-jitted frame from the RAW level set: the texture builds
     (PackedPhi + the Phi9 gradient rows) compile into the same program as
     the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
@@ -1117,4 +1215,6 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
     from it."""
     return render(phi, cam_pos, cam_right, cam_up, cam_fwd, width, height,
                   band_rows=band_rows, band_cols=band_cols, bounces=bounces,
-                  interior_skip=interior_skip)
+                  interior_skip=interior_skip, sphere_trace=sphere_trace,
+                  sphere_margin=sphere_margin, sphere_scale=sphere_scale,
+                  sphere_spec=sphere_spec)

@@ -449,7 +449,9 @@ def _expand_bounce_wf(texq, md, inv_m0, co, ci, w=None, pool=_DEF_POOL,
         reuse=reuse,
     )
     ipoint = p_hit - 0.5
-    missed = (t_hit >= max_t) | (max_t >= rt.LARGE)
+    # max_t <= 0 (box behind an epsilon-escaped child) forwards as a
+    # miss, matching raytrace._expand_bounce round-4 semantics.
+    missed = (t_hit >= max_t) | (max_t >= rt.LARGE) | (max_t <= 0.0)
 
     if g9 is not None:
         grad = rt.compute_gradient9(g9, p_hit)

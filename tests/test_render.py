@@ -96,3 +96,49 @@ def test_render_frame_smoke():
     # Sky pixels at the top should dominate the glass region brightness-wise;
     # just require spatial variation (not a constant field).
     assert img.std() > 0.01
+
+
+def test_sphere_trace_mode_matches_exact():
+    """Sphere-trace skip (deepened march texture, VERDICT r3 item 1):
+    scale=0 is the exact march bit-for-bit; the default margin's skips are
+    certificate-grade (L1/sqrt3 interior distance folded into deep nodes,
+    interior.deepen_phi), so the image stays bit-identical on this scene."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(3):
+        state = step_jit(state, 1.0 / 120.0, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+
+    base = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40)
+    )
+    off = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40,
+                  sphere_trace=True, sphere_scale=0.0)
+    )
+    # scale=0: the deepened texture + skip program with zero-width skips.
+    np.testing.assert_array_equal(base, off)
+
+    on = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, sphere_trace=True)
+    )
+    np.testing.assert_array_equal(base, on)
+
+
+def test_escaped_bounce_child_is_miss():
+    """Children whose epsilon step escapes the box (max_t <= 0) forward as
+    misses (the reference short-circuits misses to traceWater0); marching
+    them would read CLAMPED out-of-box samples whose first value leaks
+    into t (round-4 fix; the deepened sphere-trace texture exposed it)."""
+    # A ray starting above the open top moving up: box strictly behind.
+    co = jnp.array([[0.0, 0.6, 0.0]], jnp.float32)
+    ci = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
+    phi = jnp.full((16, 16, 16), -0.7, jnp.float32)  # all-fluid: clamped
+    tex = rt.PackedPhi(phi)                          # samples are negative
+    md = lambda p: rt.map_dist_packed(tex, p)
+    ip, d_a, w_a, d_b, w_b = rt._expand_bounce(md, 1.0 / 16.0, co, ci)
+    assert float(w_a[0]) == 1.0 and float(w_b[0]) == 0.0  # miss weights
+    np.testing.assert_allclose(np.asarray(d_a[0]), [0, 1, 0], atol=0)
