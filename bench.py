@@ -27,13 +27,23 @@ from fluidsimulation_tpu.solver.step3d import step_jit
 
 
 def main():
+    physical = "--physical" in sys.argv[1:]
     grid = 128
     cfg = SimConfig(
         nx=grid, ny=grid, nz=grid,
         cells_per_meter=float(grid),
-        particles_per_cell_axis=1,  # 63*126*126 = 1,000,188 particles
+        # Throughput config: 63*126*126 = 1,000,188 particles (ppc 1).
+        # --physical: the reference demo's seeding density (ppc 2, 8M
+        # particles) at dt=1/120 — holds volume (docs/PARITY.md) and runs
+        # with the overflow fallback auto-tiered to exactness.
+        particles_per_cell_axis=2 if physical else 1,
     )
-    dt = 1.0 / 60.0
+    dt = (1.0 / 120.0) if physical else (1.0 / 60.0)
+
+    from fluidsimulation_tpu.solver.step3d import (
+        overflow_autotune,
+        overflow_count,
+    )
 
     state = init_state(cfg)
     state = jax.device_put(state)
@@ -47,13 +57,19 @@ def main():
     # Warmup / compile.
     state = step_jit(state, dt, cfg)
     fetch(state)
+    if physical:
+        # Fidelity-first: keep the bounded overflow fallback exact
+        # (cfg.overflow_cap tiers track the measured n_overflow).
+        for _ in range(4):
+            state = step_jit(state, dt, cfg)
+            cfg = overflow_autotune(cfg, int(overflow_count(state.pos, cfg)))
 
     # Three measurement rounds, best taken: the tunneled TPU drifts between
     # ~1.5x-apart performance states across/within processes (docs/PERF.md);
     # the best round is the honest capability number for the fixed workload,
     # and extra rounds are cheap (~1 s each) insurance against sampling only
     # the slow state.
-    n_steps = 10
+    n_steps = 4 if physical else 10
     steps_per_sec = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
@@ -62,7 +78,18 @@ def main():
         fetch(state)
         elapsed = time.perf_counter() - t0
         steps_per_sec = max(steps_per_sec, n_steps / elapsed)
+        if physical:
+            cfg = overflow_autotune(
+                cfg, int(overflow_count(state.pos, cfg))
+            )
     assert np.isfinite(np.asarray(state.vel)).all(), "NaN in benchmark run"
+    # Fidelity tag: fraction of particles past the dense table's slot
+    # budget at the measured state — what the bounded fallback must cover
+    # (covered exactly iff n_overflow <= cfg.overflow_cap; the throughput
+    # config's collapsed state exceeds it by design, docs/PARITY.md).
+    n_over = int(overflow_count(state.pos, cfg))
+    overflow_frac = n_over / cfg.num_particles
+    overflow_exact = n_over <= cfg.overflow_cap
 
     # Render throughput at the same 128^3 phi (the reference's 30 fps number
     # includes DrawScene, FluidSimDemo.cpp:175-208): one 800x600 frame.
@@ -90,15 +117,20 @@ def main():
 
     sim_render_fps = 1.0 / (1.0 / steps_per_sec + render_s)
 
+    name = f"sim_steps_per_sec_{grid}c_{cfg.num_particles}p"
+    if physical:
+        name += "_physical"
     print(
         json.dumps(
             {
-                "metric": f"sim_steps_per_sec_{grid}c_{cfg.num_particles}p",
+                "metric": name,
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 30.0, 3),
                 "render_ms_800x600": round(1000.0 * render_s, 1),
                 "sim_render_fps": round(sim_render_fps, 3),
+                "overflow_frac": round(overflow_frac, 4),
+                "overflow_exact": overflow_exact,
             }
         )
     )

@@ -138,6 +138,15 @@ def main(argv=None):
         "vs 318 ms at 128^3 on a mid-collapse scene (docs/PERF.md)",
     )
     ap.add_argument(
+        "--overflow-cap", type=int, default=0,
+        help="exact-fallback budget for particles past the dense table's "
+        "slots (ops/celltable.py).  0 (default) = auto-tier: monitor the "
+        "measured n_overflow every 4 steps and raise the cap with 2x "
+        "headroom so the fast path never silently subsamples (the "
+        "reference's per-cell lists are unbounded).  Each tier is its own "
+        "compiled program (persistent-cached).  3D flip transfer only",
+    )
+    ap.add_argument(
         "--sphere-trace", action="store_true",
         help="sphere-trace skip on the inside water march (deepened march "
         "texture, render/interior.py::deepen_phi): jumps |phi| cells per "
@@ -166,7 +175,9 @@ def main(argv=None):
         nx=args.grid, ny=args.grid, nz=args.grid,
         cells_per_meter=float(args.grid),
         particles_per_cell_axis=args.ppc,
+        **({"overflow_cap": args.overflow_cap} if args.overflow_cap else {}),
     )
+    autotune_overflow = args.overflow_cap == 0 and args.transfer == "flip"
     os.makedirs(args.out, exist_ok=True)
     print(f"grid {cfg.nx}^3, {cfg.num_particles} particles")
 
@@ -250,6 +261,18 @@ def main(argv=None):
                 draw(state)
         meter.tick()
         step_ms = 1000 * (time.perf_counter() - t0)
+
+        if autotune_overflow and i % 4 == 3:
+            from ..solver.step3d import overflow_autotune, overflow_count
+
+            n_over = int(overflow_count(state.pos, cfg))
+            new_cfg = overflow_autotune(cfg, n_over)
+            if new_cfg is not cfg:
+                print(
+                    f"overflow autotune: n_overflow={n_over} -> "
+                    f"cap {new_cfg.overflow_cap} (was {cfg.overflow_cap})"
+                )
+                cfg = new_cfg
 
         if img_holder:
             write_ppm(

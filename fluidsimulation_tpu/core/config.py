@@ -52,6 +52,13 @@ class SimConfig:
     max_ls_ratio: float = 1000.0
     # P2G valid-weight threshold (Simulation3D.cpp:565, gpTransferParticleVelocitiesU.hlsl:61)
     zero_thresh: float = 0.01
+    # Exact-fallback budget for particles past the dense table's K slots
+    # (ops/celltable.py): the reference's per-cell lists are unbounded
+    # (gpParticleIndexing.hlsli:28-45), so overflow beyond this cap would be
+    # subsampled — drivers auto-raise it from the measured n_overflow
+    # (solver/step3d.py::overflow_autotune) so the default path stays exact.
+    # Static: each tier is its own compiled program (cached on disk).
+    overflow_cap: int = 4096
 
     @property
     def omega(self) -> float:

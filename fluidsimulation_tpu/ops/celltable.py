@@ -55,14 +55,17 @@ class CellTable:
 
 
 def build_cell_table(
-    cfg: SimConfig, pos, vel, k: int | None = None, overflow_cap: int = 4096
+    cfg: SimConfig, pos, vel, k: int | None = None,
+    overflow_cap: int | None = None,
 ) -> CellTable:
     """Build the dense table from positions in METERS (the public form).
-    See _build_from_cells for the algorithm."""
+    See _build_from_cells for the algorithm.  overflow_cap defaults to
+    cfg.overflow_cap (auto-raised by drivers, see step3d.overflow_autotune)."""
     K = default_k(cfg) if k is None else k
+    cap = cfg.overflow_cap if overflow_cap is None else overflow_cap
     m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
     return _build_from_cells(
-        (cfg.nx, cfg.ny, cfg.nz), K, pos * m, vel, None, overflow_cap
+        (cfg.nx, cfg.ny, cfg.nz), K, pos * m, vel, None, cap
     )
 
 

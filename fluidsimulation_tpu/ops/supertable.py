@@ -73,10 +73,15 @@ def _sdims(cfg: SimConfig):
 
 
 def build_super_table(
-    cfg: SimConfig, pos, vel, ks: int | None = None, overflow_cap: int = 4096
+    cfg: SimConfig, pos, vel, ks: int | None = None,
+    overflow_cap: int | None = None,
 ) -> SuperTable:
-    """Build the supercell table from positions in METERS."""
+    """Build the supercell table from positions in METERS.  overflow_cap
+    defaults to cfg.overflow_cap (see step3d.overflow_autotune)."""
     Ks = super_k(cfg) if ks is None else ks
+    overflow_cap = (
+        cfg.overflow_cap if overflow_cap is None else overflow_cap
+    )
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     assert nx % F[0] == 0 and ny % F[1] == 0 and nz % F[2] == 0
     sx, sy, sz = _sdims(cfg)

@@ -79,6 +79,57 @@ def use_pallas_kernels(cfg: SimConfig) -> bool:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def overflow_count(pos, cfg: SimConfig):
+    """Particles past the dense table's slot budget at cfg's binning
+    granularity (per-cell K or per-supercell Ks) — exactly what the bounded
+    overflow fallback must cover for the fast path to be EXACT.  Standalone
+    histogram over positions (no table build) so drivers can monitor
+    fidelity cheaply; the reference needs no equivalent because its per-cell
+    lists are unbounded (gpParticleIndexing.hlsli:28-45)."""
+    from ..ops.common import cell_of
+
+    pc = pos * jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    cell = cell_of(pc)
+    if use_super_table(cfg):
+        from ..ops.supertable import F, _sdims, super_k
+
+        sx, sy, sz = _sdims(cfg)
+        k = super_k(cfg)
+        lin = (
+            (cell[:, 0] // F[0]) * sy + cell[:, 1] // F[1]
+        ) * sz + cell[:, 2] // F[2]
+        nbins = sx * sy * sz
+    else:
+        from ..ops.celltable import default_k
+
+        k = default_k(cfg)
+        lin = (cell[:, 0] * cfg.ny + cell[:, 1]) * cfg.nz + cell[:, 2]
+        nbins = cfg.nx * cfg.ny * cfg.nz
+    counts = jnp.zeros(nbins, jnp.int32).at[lin].add(1, mode="drop")
+    return jnp.maximum(counts - k, 0).sum().astype(jnp.int32)
+
+
+def overflow_autotune(cfg: SimConfig, n_overflow: int) -> SimConfig:
+    """Raise cfg.overflow_cap so the exact bounded fallback keeps covering
+    the OBSERVED overflow with 2x headroom (PIC/FLIP clumping grows a few
+    percent per step, so headroom absorbs the one-step monitoring lag).
+    Power-of-4 tiers: each tier is a separate compiled program, so tiers are
+    few and the persistent compile cache makes revisits free.  Never
+    shrinks (hysteresis — clumping oscillates through the slosh).  Returns
+    cfg unchanged when the cap already suffices."""
+    import dataclasses
+
+    cap = cfg.overflow_cap
+    n = cfg.num_particles
+    while cap < n and cap < 2 * int(n_overflow):
+        cap *= 4
+    cap = min(cap, n)
+    if cap == cfg.overflow_cap:
+        return cfg
+    return dataclasses.replace(cfg, overflow_cap=cap)
+
+
 def step(state: SimState, dt, cfg: SimConfig, fast: bool = True) -> SimState:
     """Advance the simulation by one (already clamped) dt.
 

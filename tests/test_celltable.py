@@ -114,3 +114,89 @@ def test_overflow_exactness():
             np.asarray(got[i])[valid], np.asarray(want[i])[valid],
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_overflow_count_matches_table():
+    """overflow_count (the drivers' cheap fidelity monitor) agrees with the
+    table build's own n_overflow at both binning granularities."""
+    from fluidsimulation_tpu.solver.step3d import overflow_count
+
+    pos, vel = _seeded()
+    K = ct.default_k(CFG)
+    p = np.asarray(pos).copy()
+    p[: 3 * K] = (8.0 + np.random.default_rng(1).uniform(
+        -0.45, 0.45, size=(3 * K, 3))) / 16.0
+    p = jnp.asarray(p)
+
+    table = ct.build_cell_table(CFG, p, vel)
+    assert int(overflow_count(p, CFG)) == int(table.n_overflow) > 0
+
+    cfg1 = SimConfig(nx=16, ny=16, nz=16, cells_per_meter=16.0,
+                     particles_per_cell_axis=1)
+    from fluidsimulation_tpu.ops.supertable import build_super_table
+    from fluidsimulation_tpu.solver.step3d import use_super_table
+
+    assert use_super_table(cfg1)
+    pos1, _ = dam_break_particles(cfg1)
+    p1 = np.asarray(pos1).copy()
+    p1[:40] = (8.0 + np.random.default_rng(2).uniform(
+        -0.45, 0.45, size=(40, 3))) / 16.0
+    p1 = jnp.asarray(p1)
+    vel1 = jnp.zeros_like(p1)
+    st = build_super_table(cfg1, p1, vel1)
+    assert int(overflow_count(p1, cfg1)) == int(st.n_overflow) > 0
+
+
+def test_overflow_autotune_policy():
+    """Power-of-4 tiers with 2x headroom, hysteresis, N ceiling."""
+    import dataclasses
+
+    from fluidsimulation_tpu.solver.step3d import overflow_autotune
+
+    cfg = SimConfig(nx=64, ny=64, nz=64, cells_per_meter=64.0)  # N=953312
+    assert overflow_autotune(cfg, 0) is cfg
+    assert overflow_autotune(cfg, 2048) is cfg  # 2*2048 == cap: covered
+    assert overflow_autotune(cfg, 2049).overflow_cap == 16384
+    assert overflow_autotune(cfg, 40000).overflow_cap == 262144
+    # Ceiling: cap never exceeds N (cap >= N == the full exact scatter).
+    assert overflow_autotune(cfg, 900000).overflow_cap == cfg.num_particles
+    # Hysteresis: an already-raised cap never shrinks.
+    hi = dataclasses.replace(cfg, overflow_cap=65536)
+    assert overflow_autotune(hi, 10) is hi
+
+
+def test_overflow_exactness_beyond_default_cap():
+    """A clump larger than the DEFAULT 4096 cap: with the auto-raised cap
+    the fast path stays exact (P2G vs the direct scatter) and n_overflow is
+    fully covered — the 'no silent drops' contract (VERDICT r3 item 3)."""
+    import dataclasses
+
+    from fluidsimulation_tpu.solver.step3d import overflow_autotune
+
+    pos, vel = _seeded()
+    n_clump = 6000  # > 4096 default cap, one cell's neighborhood
+    rng = np.random.default_rng(3)
+    p = np.asarray(pos).copy()
+    p[:n_clump] = (8.0 + rng.uniform(-0.45, 0.45, size=(n_clump, 3))) / 16.0
+    p = jnp.asarray(p)
+
+    cfg = dataclasses.replace(CFG)
+    table = ct.build_cell_table(cfg, p, vel)
+    n_over = int(table.n_overflow)
+    assert n_over > cfg.overflow_cap  # default cap would silently drop
+
+    cfg = overflow_autotune(cfg, n_over)
+    assert cfg.overflow_cap >= n_over
+    table = ct.build_cell_table(cfg, p, vel)
+    # Covered: every overflow particle has a live fallback slot.
+    assert int((np.asarray(table.overflow_idx) < p.shape[0]).sum()) == n_over
+
+    got = ct.p2g_from_table(cfg, table, p, vel)
+    want = p2g.transfer_to_grid(cfg, p, vel)
+    for i in range(3):
+        valid = np.asarray(want[3 + i])
+        np.testing.assert_array_equal(np.asarray(got[3 + i]), valid)
+        np.testing.assert_allclose(
+            np.asarray(got[i])[valid], np.asarray(want[i])[valid],
+            rtol=2e-4, atol=2e-4,
+        )
