@@ -26,6 +26,7 @@ def mesh():
     return make_mesh(jax.devices()[:8])
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single(mesh):
     state = init_state(CFG)
     want = step_jit(state, 0.01, CFG)
@@ -48,6 +49,7 @@ def test_output_shardings_preserved(mesh):
         ), name
 
 
+@pytest.mark.slow
 def test_halo_step_matches_single(mesh):
     """The explicit-collective shard_map step (x-sharded grids, ppermute
     halos, relay x-sweeps, particle slab exchange) == single-device step
@@ -72,6 +74,7 @@ def test_halo_step_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(got.phi), np.asarray(want.phi), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_halo_step_drop_counter(mesh):
     """with_diagnostics=True reports particles lost to the static slab
     capacity: 0 at the default 4x capacity, >0 when the capacity is forced
@@ -115,6 +118,7 @@ def test_shard_map_halo_sor_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_apic_step_matches_single(mesh):
     """The APIC extension family also runs GSPMD-sharded (fast=False: the
     table fast path's windowed build is single-chip; the oracle transfer
@@ -138,3 +142,28 @@ def test_sharded_apic_step_matches_single(mesh):
     fin = np.isfinite(np.asarray(want.phi))
     np.testing.assert_allclose(np.asarray(got.phi)[fin],
                                np.asarray(want.phi)[fin], atol=1e-4)
+
+
+def test_halo_step_collective_budget(mesh):
+    """Pin the engineered halo step's compiled-HLO collective counts at
+    32^3/D=8 (docs/PARALLEL.md; VERDICT r3 item 5): a refactor that falls
+    back to GSPMD-style lowering (447 permutes / 347 all-to-alls / 29
+    all-reduces at this shape) must fail here.  Exact-pinned on this
+    image's jax; if a jax upgrade shifts counts benignly, re-baseline
+    against scripts/diag_mesh_work.py."""
+    from fluidsimulation_tpu.parallel.halo_step import (
+        make_halo_step,
+        shard_state_x,
+    )
+    from fluidsimulation_tpu.parallel.hlo import compiled_collectives
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = shard_state_x(init_state(cfg), mesh)
+    counts = compiled_collectives(make_halo_step(cfg, mesh), state, 0.01)
+    assert counts == {
+        "collective-permute": 84,
+        "all-gather": 14,
+        "all-reduce": 0,
+        "all-to-all": 20,
+        "reduce-scatter": 0,
+    }, counts
