@@ -10,6 +10,8 @@ Key analytic properties of the quadratic-B-spline APIC pair:
  * the full stepper runs and behaves physically on a small dam break.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -273,6 +275,7 @@ def test_apic_table_seeding_matches_celltable():
     np.testing.assert_array_equal(np.asarray(ca2), np.asarray(cc2))
 
 
+@pytest.mark.slow
 def test_step_apic_fast_matches_slow():
     """One fast step vs one slow (oracle transfer + direct level set) step
     from the same state: fields agree to fast/slow tolerance."""

@@ -128,6 +128,7 @@ def test_skip_march_bit_identical(phi32):
     # load-bearing property)
 
 
+@pytest.mark.slow
 def test_tiled_inside_march_skip_bit_identical(phi32):
     """The TILED renderer's inside forward march with the interior skip
     (intersect_water probe2/margin) is bit-identical to the plain march:
@@ -182,6 +183,7 @@ def test_tiled_inside_march_skip_bit_identical(phi32):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_render_wavefront_skip_matches_noskip(phi32):
     cam = OrbitCamera()
     co, right, up, fwd = cam.frame(64, 48)

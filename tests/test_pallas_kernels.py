@@ -1,6 +1,8 @@
 """Interpret-mode parity for the Pallas kernels used by the TPU fast path
 (sweeps + neighborhood pass; P2G is covered in test_pallas_p2g.py)."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -27,6 +29,7 @@ def test_pallas_sweeps_match_scan():
     np.testing.assert_allclose(np.asarray(a_cpos), np.asarray(b_cpos), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_pallas_sweeps_non_cubic():
     """Non-cubic grids exercise the axis-permutation plumbing."""
     cfg = SimConfig(nx=16, ny=24, nz=32, cells_per_meter=16.0)

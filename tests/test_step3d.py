@@ -120,6 +120,7 @@ def test_jit_single_compilation_whole_step():
     assert lowered.compile() is not None
 
 
+@pytest.mark.slow
 def test_fast_slow_equivalence_supertable():
     """ppc_axis=1 routes the fast path through the supercell table
     (solver.step3d.use_super_table); it must agree with the direct path."""

@@ -116,6 +116,7 @@ def test_intersect_water_pool_dead_mask(phi24):
                          1e-5, 0.004, 0.1)
 
 
+@pytest.mark.slow
 def test_render_wavefront_matches_tiled(phi24):
     cam = OrbitCamera()
     co, right, up, fwd = cam.frame(80, 60)
@@ -148,6 +149,7 @@ def test_render_wavefront_matches_tiled(phi24):
     assert got.std() > 0.01
 
 
+@pytest.mark.slow
 def test_render_wavefront_selfconsistent(phi24):
     """Same program, same inputs -> bitwise identical frames (the wavefront
     renderer is deterministic; its goldens are exact against itself)."""
