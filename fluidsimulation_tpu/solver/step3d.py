@@ -110,17 +110,23 @@ def overflow_count(pos, cfg: SimConfig):
     return jnp.maximum(counts - k, 0).sum().astype(jnp.int32)
 
 
-def overflow_autotune(cfg: SimConfig, n_overflow: int) -> SimConfig:
-    """Raise cfg.overflow_cap so the exact bounded fallback keeps covering
-    the OBSERVED overflow with 2x headroom (PIC/FLIP clumping grows a few
-    percent per step, so headroom absorbs the one-step monitoring lag).
-    Power-of-4 tiers: each tier is a separate compiled program, so tiers are
-    few and the persistent compile cache makes revisits free.  Never
-    shrinks (hysteresis — clumping oscillates through the slosh).  Returns
-    cfg unchanged when the cap already suffices."""
+def overflow_autotune(
+    cfg: SimConfig, n_overflow: int, floor: int = 4096
+) -> SimConfig:
+    """Size cfg.overflow_cap so the exact bounded fallback covers the
+    OBSERVED overflow with 2x headroom (worst measured 4-step clumping
+    growth through the 64³/ppc2 slosh is ~1.6x, scripts/diag_overflow_soak
+    .py — the headroom absorbs the check-cadence lag; 0/200 steps
+    uncovered in the soak).  Power-of-4 tiers from ``floor``: each tier is
+    a separate compiled program, so tiers are few and both jit and the
+    persistent compile cache make revisits free — which is also why the
+    policy is symmetric: after the slosh peak it steps back DOWN instead
+    of paying the top tier's fallback price forever (262144: +134 ms/step
+    measured; 4096: +~2 ms).  Returns cfg unchanged when the tier
+    already matches."""
     import dataclasses
 
-    cap = cfg.overflow_cap
+    cap = floor
     n = cfg.num_particles
     while cap < n and cap < 2 * int(n_overflow):
         cap *= 4

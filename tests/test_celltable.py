@@ -148,7 +148,8 @@ def test_overflow_count_matches_table():
 
 
 def test_overflow_autotune_policy():
-    """Power-of-4 tiers with 2x headroom, hysteresis, N ceiling."""
+    """Power-of-4 tiers with 2x headroom, symmetric (shrinks after the
+    slosh peak — tier programs are compile-cached), N ceiling."""
     import dataclasses
 
     from fluidsimulation_tpu.solver.step3d import overflow_autotune
@@ -160,9 +161,12 @@ def test_overflow_autotune_policy():
     assert overflow_autotune(cfg, 40000).overflow_cap == 262144
     # Ceiling: cap never exceeds N (cap >= N == the full exact scatter).
     assert overflow_autotune(cfg, 900000).overflow_cap == cfg.num_particles
-    # Hysteresis: an already-raised cap never shrinks.
-    hi = dataclasses.replace(cfg, overflow_cap=65536)
-    assert overflow_autotune(hi, 10) is hi
+    # Symmetric: steps back down when the observed overflow recedes
+    # (both tier programs are already compiled + disk-cached).
+    hi = dataclasses.replace(cfg, overflow_cap=262144)
+    assert overflow_autotune(hi, 27306).overflow_cap == 65536
+    assert overflow_autotune(hi, 10).overflow_cap == 4096
+    assert overflow_autotune(hi, 100000) is hi
 
 
 def test_overflow_exactness_beyond_default_cap():
