@@ -12,6 +12,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from fluidsimulation_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.core.state import init_state
 from fluidsimulation_tpu.solver.step3d import step_jit
@@ -28,13 +32,21 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     grid = int(args[0]) if args else 128
     do_render = "--render" in sys.argv
+    ppc = 1 if grid >= 128 else 2
+    dt_v = 1 / 60
+    for a in sys.argv[1:]:
+        if a.startswith("--ppc="):
+            ppc = int(a.split("=")[1])
+        if a.startswith("--dt="):  # e.g. --dt=1/120
+            num, den = a.split("=")[1].split("/")
+            dt_v = float(num) / float(den)
     cfg = SimConfig(
         nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
-        particles_per_cell_axis=1 if grid >= 128 else 2,
+        particles_per_cell_axis=ppc,
     )
     print(f"backend {jax.default_backend()}, grid {grid}^3, "
-          f"particles {cfg.num_particles}")
-    dt = jnp.float32(1 / 60)
+          f"particles {cfg.num_particles}, dt {dt_v:.5f}")
+    dt = jnp.float32(dt_v)
     state = jax.device_put(init_state(cfg))
 
     # Advance a few fused steps first so the profiled state is "typical".
