@@ -48,6 +48,35 @@ def advect_rk3(cfg: SimConfig, u, v, w, pos, dt, packed: bool = True):
     return jnp.clip(newpos, -0.4 / m, 1.0 - 0.6 / m)
 
 
+def advect_rk3_pic(cfg: SimConfig, u, v, w, pos, vel, dt):
+    """RK3 with stage 1 = the particle's OWN velocity (APIC/PIC semantics).
+
+    For pure-PIC transfer families (APIC), vel IS the grid interpolation at
+    pos — the quadratic-spline G2P sample taken at exactly these positions
+    from exactly these grids at the end of the previous step — so stage 1
+    needs no gather at all (measured −14 ms at 64³/953k; the hat-from-mac9
+    AdvectCache variant won only 5 net, scripts/diag_apic_cache_ab.py).
+    Stages 2/3 use the packed hat interp like advect_rk3(packed=True):
+    mixing interpolants across RK stages keeps the integrator consistent
+    (each stage samples a valid approximation of the same grid field).
+    NOT for FLIP states, whose particle velocity is a blend, not a grid
+    sample."""
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    pu, pv, pw = pack_mac3(u, v, w)
+    dims = (cfg.nx, cfg.ny, cfg.nz)
+
+    def vel_at(p):
+        return interp_mac3_packed_vec(pu, pv, pw, dims, p * m)
+
+    k1 = vel
+    k2 = vel_at(pos + 0.5 * dt * k1)
+    k3 = vel_at(pos + 0.75 * dt * k2)
+    newpos = pos + dt * (
+        (2.0 / 9.0) * k1 + (3.0 / 9.0) * k2 + (4.0 / 9.0) * k3
+    )
+    return jnp.clip(newpos, -0.4 / m, 1.0 - 0.6 / m)
+
+
 def advect_rk3_cached(cfg: SimConfig, cache, pos, dt):
     """advect_rk3 fast path using the previous step's AdvectCache: stage 1
     comes out of the cache (it was produced by FLIP's fat-row gather at

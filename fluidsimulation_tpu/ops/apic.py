@@ -225,15 +225,28 @@ def pack_mac9(grid):
     return rows.reshape((gx + 1) * (gy + 1) * ns, 9 * _L9), grid.shape, ns
 
 
-def g2p_apic_packed(cfg: SimConfig, pos, u, v, w):
+def g2p_apic_packed(cfg: SimConfig, pos, u, v, w, with_hat: bool = False):
     """g2p_apic via one packed-row gather per component (same math, packed
-    reduction order; equality tested to fp tolerance)."""
+    reduction order; equality tested to fp tolerance).
+
+    with_hat=True additionally returns khat (N, 3): the HAT (trilinear)
+    interpolation of (u, v, w) at pos with core/interp.py's clamp
+    semantics, computed from the rows this function already gathered —
+    the 2-node hat support per axis is always inside the 3-node quadratic
+    window (base = floor(t-0.5); hat nodes are floor(t)/floor(t)+1 ∈
+    base+{0,1,2}); matches interp_mac3_packed_vec to ~1 ulp (different
+    z-window lanes / summation order), tested in tests/test_apic.py.
+    NOT used by the stepper: as an AdvectCache k1 carry it measured +6.8
+    ms (a third full pass over the 1.1 GB/component row gathers) against
+    the 14 ms it saves, and advect_rk3_pic (stage 1 = state.vel, exact
+    for pure-PIC transfers) gets the full saving for free
+    (scripts/diag_apic_cache_ab.py, docs/PERF.md round 4)."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     m = jnp.array([nx, ny, nz], jnp.float32)
     pc = pos * m
     n = pos.shape[0]
 
-    vels, crows = [], []
+    vels, crows, hats = [], [], []
     for comp_axis, grid in ((0, u), (1, v), (2, w)):
         rows2d, (gx, gy, gz), ns = pack_mac9(grid)
         t = [pc[:, ax] + (0.5 if ax == comp_axis else 0.0) for ax in range(3)]
@@ -278,8 +291,50 @@ def g2p_apic_packed(cfg: SimConfig, pos, u, v, w):
         crows.append(jnp.stack(
             [bx * scale[0], by * scale[1], bz * scale[2]], -1))
 
+        if with_hat:
+            # Hat (trilinear) interp of this component from the SAME rows,
+            # with core/interp_packed.py's clamp semantics: extended split
+            # on the staggered axis, normal split elsewhere.  The 2-node
+            # hat support is inside the 3x3x32 window for every clamped
+            # coordinate (see docstring); padded replica lanes always get
+            # weight exactly 0.
+            dims_i = (nx, ny, nz)
+
+            def _hat_corners(ax):
+                dim = jnp.float32(dims_i[ax])
+                if ax == comp_axis:
+                    e = jnp.clip(pc[:, ax] + 0.5, 0.0, dim)
+                    i0 = jnp.minimum(jnp.floor(e), dim - 1.0)
+                    f = e - i0
+                else:
+                    nrm = jnp.clip(pc[:, ax], 0.0, dim - 1.0)
+                    i0 = jnp.minimum(jnp.floor(nrm), dim - 2.0)
+                    f = nrm - i0
+                a0 = i0.astype(jnp.int32) - base[ax]
+                return [
+                    jnp.where(a0 == a, 1.0 - f, 0.0)
+                    + jnp.where(a0 + 1 == a, f, 0.0)
+                    for a in range(3)
+                ]
+
+            wxh = _hat_corners(0)
+            wyh = _hat_corners(1)
+            if comp_axis == 2:
+                q = jnp.clip(pc[:, 2] + 0.5, 0.0, jnp.float32(nz))
+            else:
+                q = jnp.clip(pc[:, 2], 0.0, jnp.float32(nz - 1))
+            wzh = jnp.maximum(0.0, 1.0 - jnp.abs(q[:, None] - znode))
+            zred_hat = (rows * wzh[:, None, :]).sum(-1)  # (N, 9)
+            hv = jnp.zeros(n, jnp.float32)
+            for a in range(3):
+                for b in range(3):
+                    hv = hv + wxh[a] * wyh[b] * zred_hat[:, 3 * a + b]
+            hats.append(hv)
+
     vel = jnp.stack(vels, axis=-1)
     C = jnp.stack(crows, axis=1)
+    if with_hat:
+        return vel, C, jnp.stack(hats, axis=-1)
     return vel, C
 
 
@@ -514,7 +569,8 @@ def extrapolate_rings(g, valid, rings: int = 2):
     return g
 
 
-def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C):
+def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
+                              aligned_slabs: bool = False):
     """p2g_apic_from_table restructured as ONE sweep over the UNION window
     (the celltable.p2g_from_table_fused pattern): cell-indexed accumulators
     (component face c + e_k stored at cell c) turn all three components'
@@ -528,6 +584,24 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C):
     pc = pos * m
     slots = table.slots
     padded = jnp.pad(slots, ((2, 2), (2, 2), (0, 0), (0, 0), (2, 2)))
+    # Hoist the four minor-axis (z) shifts out of the window loop as
+    # materialized lane-ALIGNED slabs: a z-shifted window slice inside the
+    # loop starts at lane 1/2/3 of the padded tile and Mosaic/XLA relayouts
+    # the whole tensor per read (the ops/pallas_p2g_super.py preshift
+    # pathology, CLAUDE.md).  optimization_barrier forces the four slabs
+    # into real re-aligned buffers, so every in-loop read is an outer-dim
+    # (x, y) slice of an aligned slab.  Values and op order are unchanged
+    # — outputs stay bit-identical.
+    slabs = tuple(
+        padded[:, :, :, :, 2 + dz: 2 + dz + nz] for dz in (-1, 0, 1, 2)
+    )
+    if aligned_slabs:
+        # Measured NEGATIVE at 64³/953k (35.4 vs 32.6 ms standalone,
+        # scripts/diag_apic_cache_ab.py): XLA fuses the in-loop strided
+        # minor-dim slices without Mosaic's relayout pathology, so the
+        # barrier only adds the 4-slab materialization.  Kept as the
+        # measured A/B hook; default callers pass False.
+        slabs = jax.lax.optimization_barrier(slabs)
 
     cx = jnp.arange(nx, dtype=jnp.float32).reshape(nx, 1, 1, 1)
     cy = jnp.arange(ny, dtype=jnp.float32).reshape(1, ny, 1, 1)
@@ -552,11 +626,9 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C):
                          if all(d[ax] <= 1 for ax in range(3) if ax != k)]
                 if not comps:
                     continue
-                win = padded[
+                win = slabs[dz_off + 1][
                     2 + dx_off: 2 + dx_off + nx,
                     2 + dy_off: 2 + dy_off + ny,
-                    :, :,
-                    2 + dz_off: 2 + dz_off + nz,
                 ]
                 px = win[:, :, :, 0, :]
                 py = win[:, :, :, 1, :]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.state import init_state
-from ..ops.advect import advect_rk3
+from ..ops.advect import advect_rk3_pic
 from ..ops.blur import blur_phi
 from ..ops.apic import g2p_apic, g2p_apic_packed, p2g_apic
 from ..ops.extrapolate import extrapolate_one_ring
@@ -57,9 +57,14 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
     fast=True routes G2P through the packed 9x32-row gather
     (ops/apic.py::g2p_apic_packed) and P2G through the dense spline
     windows over the 16-field slot table (p2g_apic_from_table) — both
-    equality-tested vs the oracle pair (fast=False)."""
-    pos = advect_rk3(cfg, state.u, state.v, state.w, state.pos, dt,
-                     packed=True)
+    equality-tested vs the oracle pair (fast=False).
+
+    Advection is RK3 with stage 1 = state.vel (ops/advect.py::
+    advect_rk3_pic): APIC's particle velocity IS the spline sample of
+    state's grids at state.pos, so the stage-1 gather is free.  Both
+    paths use it, so fast == slow equality is unaffected."""
+    pos = advect_rk3_pic(cfg, state.u, state.v, state.w, state.pos,
+                         state.vel, dt)
     if fast:
         from ..ops.apic import build_apic_table, p2g_apic_from_table_fused
         from ..ops.celltable import (

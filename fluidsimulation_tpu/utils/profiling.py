@@ -336,7 +336,7 @@ def profile_step_apic(state, dt, cfg: SimConfig, render_fn=None):
     FLIP old-grid snapshot mark FLIP_COPYVELOCITIES reports 0 — APIC has
     no old-grid).  Stage routing matches step_apic(fast=True) exactly."""
     from ..ops import blur, extrapolate, forces, project
-    from ..ops.advect import advect_rk3
+    from ..ops.advect import advect_rk3_pic
     from ..ops.apic import (
         build_apic_table,
         g2p_apic_packed,
@@ -350,8 +350,8 @@ def profile_step_apic(state, dt, cfg: SimConfig, render_fn=None):
     use_pallas = use_pallas_kernels(cfg)
 
     pos = prof.timed(
-        "ADVECT", _jitted(advect_rk3),
-        cfg, state.u, state.v, state.w, state.pos, dt,
+        "ADVECT", _jitted(advect_rk3_pic),
+        cfg, state.u, state.v, state.w, state.pos, state.vel, dt,
     )
     table = prof.timed(
         "TRANSFERPTG_BIN", _jitted(build_apic_table),

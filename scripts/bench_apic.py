@@ -9,6 +9,11 @@ Usage: python scripts/bench_apic.py [n_steps] [grid] [ppc]
 """
 import sys, time
 sys.path.insert(0, ".")
+
+from fluidsimulation_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import numpy as np
 
@@ -17,15 +22,10 @@ from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
 from fluidsimulation_tpu.solver.step3d import clamp_dt
 
 
-def main(n_steps=5, grid=64, ppc=2):
-    cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
-                    particles_per_cell_axis=ppc)
-    dt = clamp_dt(cfg, 1 / 60, simulation_rate=0.5)
-    s = jax.device_put(init_apic_state(cfg))
+def _time_loop(s, dt, cfg, n_steps):
     s = step_apic_jit(s, dt, cfg)
     jax.block_until_ready(s.pos)
     jax.device_get(np.asarray(s.vel).ravel()[0])
-
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
@@ -34,6 +34,15 @@ def main(n_steps=5, grid=64, ppc=2):
         jax.block_until_ready(s.pos)
         jax.device_get(np.asarray(s.vel).ravel()[0])
         best = max(best, n_steps / (time.perf_counter() - t0))
+    return best, s
+
+
+def main(n_steps=5, grid=64, ppc=2):
+    cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
+                    particles_per_cell_axis=ppc)
+    dt = clamp_dt(cfg, 1 / 60, simulation_rate=0.5)
+    best, s = _time_loop(jax.device_put(init_apic_state(cfg)), dt, cfg,
+                         n_steps)
     assert np.isfinite(np.asarray(s.vel)).all()
     assert np.isfinite(np.asarray(s.C)).all()
     print(f"apic step ({grid}^3 / {cfg.num_particles}p): "
@@ -41,5 +50,5 @@ def main(n_steps=5, grid=64, ppc=2):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:4]]
+    args = [int(a) for a in sys.argv[1:4] if not a.startswith("--")]
     main(*args)

@@ -184,6 +184,70 @@ def test_g2p_packed_matches_oracle():
                                atol=2e-3)  # C scale ~ 4 m^2
 
 
+def test_g2p_packed_hat_matches_interp():
+    """g2p_apic_packed(with_hat=True)'s khat == the hat (trilinear) MAC
+    interp at pos (core/interp_packed.py semantics) — the free RK3 stage-1
+    value the APIC AdvectCache carries — incl. clamp-range positions."""
+    from fluidsimulation_tpu.core.interp_packed import (
+        interp_mac3_packed_vec,
+        pack_mac3,
+    )
+    from fluidsimulation_tpu.ops.apic import g2p_apic_packed
+
+    cfg = _cfg(16)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=(17, 16, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(16, 17, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 16, 17)).astype(np.float32))
+    lo, hi = -0.4 / 16, 1.0 - 0.6 / 16
+    pos = jnp.asarray(rng.uniform(lo, hi, (4096, 3)).astype(np.float32))
+
+    vel0, C0 = g2p_apic_packed(cfg, pos, u, v, w)
+    vel1, C1, khat = g2p_apic_packed(cfg, pos, u, v, w, with_hat=True)
+    np.testing.assert_array_equal(np.asarray(vel1), np.asarray(vel0))
+    np.testing.assert_array_equal(np.asarray(C1), np.asarray(C0))
+
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    want = interp_mac3_packed_vec(
+        *pack_mac3(u, v, w), (cfg.nx, cfg.ny, cfg.nz), pos * m
+    )
+    np.testing.assert_allclose(np.asarray(khat), np.asarray(want), atol=2e-6)
+
+
+def test_advect_rk3_pic_consistency():
+    """advect_rk3_pic (stage 1 = the particle's own velocity — the APIC
+    stepper's advection) equals advect_rk3 exactly when vel is fed the
+    hat interp at pos (same stages 2/3), and tracks it closely when vel
+    is the spline sample instead (the real APIC case)."""
+    from fluidsimulation_tpu.core.interp_packed import (
+        interp_mac3_packed_vec,
+        pack_mac3,
+    )
+    from fluidsimulation_tpu.ops.advect import advect_rk3, advect_rk3_pic
+    from fluidsimulation_tpu.ops.apic import g2p_apic_packed
+
+    cfg = _cfg(16)
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.normal(size=(17, 16, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(16, 17, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 16, 17)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0.05, 0.9, (2048, 3)).astype(np.float32))
+    dt = 0.01
+
+    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
+    khat = interp_mac3_packed_vec(
+        *pack_mac3(u, v, w), (cfg.nx, cfg.ny, cfg.nz), pos * m
+    )
+    ref = advect_rk3(cfg, u, v, w, pos, dt, packed=True)
+    got = advect_rk3_pic(cfg, u, v, w, pos, khat, dt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-7)
+
+    vspline, _ = g2p_apic_packed(cfg, pos, u, v, w)
+    got2 = advect_rk3_pic(cfg, u, v, w, pos, vspline, dt)
+    # Spline-vs-hat stage 1 differs by O(h^2) * dt * (2/9).
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=5e-3)
+
+
 def test_p2g_table_matches_oracle():
     """p2g_apic_from_table == p2g_apic (dense spline windows over the
     16-field slot table + bounded overflow scatter vs direct scatter),
