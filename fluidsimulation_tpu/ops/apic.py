@@ -262,6 +262,10 @@ def g2p_apic_packed(cfg: SimConfig, pos, u, v, w, with_hat: bool = False):
         znode = jnp.float32(_S) * seg[:, None].astype(jnp.float32) + lane - 1.0
         dz = t[2][:, None] - znode
         wz = _quad_spline(dz)  # auto-zero outside the 3-node support
+        # The two z-reductions fuse into one pass over the row gathers as
+        # written (an explicitly stacked-weight single reduce measured a
+        # wash, 46.5 vs 45.9 ms — docs/PERF.md round 4); with_hat's +6.8 ms
+        # is its hat-weight compute, not an extra HBM pass.
         zred = (rows * wz[:, None, :]).sum(-1)          # (N, 9)
         zred_dz = (rows * (wz * (-dz / m[2]))[:, None, :]).sum(-1)
 
