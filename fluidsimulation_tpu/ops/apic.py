@@ -596,16 +596,18 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
     # into real re-aligned buffers, so every in-loop read is an outer-dim
     # (x, y) slice of an aligned slab.  Values and op order are unchanged
     # — outputs stay bit-identical.
-    slabs = tuple(
-        padded[:, :, :, :, 2 + dz: 2 + dz + nz] for dz in (-1, 0, 1, 2)
-    )
     if aligned_slabs:
-        # Measured NEGATIVE at 64³/953k (35.4 vs 32.6 ms standalone,
+        # Measured NEGATIVE (35.4 vs 32.6 ms standalone at 64³/953k,
         # scripts/diag_apic_cache_ab.py): XLA fuses the in-loop strided
         # minor-dim slices without Mosaic's relayout pathology, so the
         # barrier only adds the 4-slab materialization.  Kept as the
-        # measured A/B hook; default callers pass False.
-        slabs = jax.lax.optimization_barrier(slabs)
+        # measured A/B hook; default callers pass False.  (Even a shared
+        # slab tuple WITHOUT the barrier regressed 128³/ppc1 265 → 617 ms
+        # — XLA materializes multi-consumer slab slices at that size —
+        # so the default path composes each window slice per offset.)
+        slabs = jax.lax.optimization_barrier(tuple(
+            padded[:, :, :, :, 2 + dz: 2 + dz + nz] for dz in (-1, 0, 1, 2)
+        ))
 
     cx = jnp.arange(nx, dtype=jnp.float32).reshape(nx, 1, 1, 1)
     cy = jnp.arange(ny, dtype=jnp.float32).reshape(1, ny, 1, 1)
@@ -630,10 +632,18 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
                          if all(d[ax] <= 1 for ax in range(3) if ax != k)]
                 if not comps:
                     continue
-                win = slabs[dz_off + 1][
-                    2 + dx_off: 2 + dx_off + nx,
-                    2 + dy_off: 2 + dy_off + ny,
-                ]
+                if aligned_slabs:
+                    win = slabs[dz_off + 1][
+                        2 + dx_off: 2 + dx_off + nx,
+                        2 + dy_off: 2 + dy_off + ny,
+                    ]
+                else:
+                    win = padded[
+                        2 + dx_off: 2 + dx_off + nx,
+                        2 + dy_off: 2 + dy_off + ny,
+                        :, :,
+                        2 + dz_off: 2 + dz_off + nz,
+                    ]
                 px = win[:, :, :, 0, :]
                 py = win[:, :, :, 1, :]
                 pz = win[:, :, :, 2, :]

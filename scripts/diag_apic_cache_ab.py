@@ -25,7 +25,7 @@ variants in one process.
 The cache/with_hat variants are re-constructed inline here so the A/B
 stays reproducible against the current code.
 
-Usage (TPU): python scripts/diag_apic_cache_ab.py
+Usage (TPU): python scripts/diag_apic_cache_ab.py [grid] [ppc]
 """
 
 import sys
@@ -79,9 +79,13 @@ def timeit(name, f, *args, n=5, rounds=2):
 
 
 def main():
-    print("backend", jax.default_backend(), flush=True)
-    cfg = SimConfig(nx=64, ny=64, nz=64, cells_per_meter=64.0,
-                    particles_per_cell_axis=2)
+    args = [int(a) for a in sys.argv[1:3]]
+    grid = args[0] if args else 64
+    ppc = args[1] if len(args) > 1 else (2 if grid <= 64 else 1)
+    print(f"backend {jax.default_backend()}  grid {grid}^3 ppc {ppc}",
+          flush=True)
+    cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
+                    particles_per_cell_axis=ppc)
     dims = (cfg.nx, cfg.ny, cfg.nz)
     m = jnp.array(dims, jnp.float32)
     dt = clamp_dt(cfg, 1 / 60, simulation_rate=0.5)
