@@ -29,10 +29,13 @@ Design notes (TPU-first, correctness tier):
   table-reused level-set seeding (the ApicTable is field-compatible
   with CellTable seeding) **224 ms** — 9.2x over the oracle tier.  Each
   removal matched its transaction arithmetic (81N gathers ~0.7 s, 162N
-  scatters ~1.4 s, direct seed ~44 ms).  The remaining 2.4x vs
-  PIC/FLIP's 92 ms: wider spline windows (36 vs 18 cells), 2x-wide
-  table, and no carried advect cache yet (the G2P output IS next
-  step's RK3 stage 1 — the FLIP cache trick applies; round-4 lever).
+  scatters ~1.4 s, direct seed ~44 ms).  Round 4 landed the free RK3
+  stage 1 (advect_rk3_pic — vel IS the spline sample at pos): step
+  184.5 -> **157.5 ms** same-process at 64^3/953k, 253.7 ms at
+  128^3/ppc1.  The remaining ~1.7x vs PIC/FLIP: wider spline windows
+  (36 vs 18 cells) and the 2x-wide table — structural to the quadratic
+  kernel; the micro-levers against them measured dead (docs/PERF.md
+  round 4: payload width, z-fold, slab hoist, Pallas op-count).
 
 Exactness property (tested): affine velocity fields v(x) = v0 + A(x-x0)
 round-trip P2G -> G2P unchanged (quadratic B-splines reproduce linears),

@@ -1,9 +1,12 @@
 """APIC stepper timing (default: the reference demo config, 64^3/953k).
 
-Measured round 3 (TPU v5e): 64^3/953k 224 ms/step; 128^3/ppc1/1.0M
-265 ms/step (the flagship bench grid; vs 104-113 ms PIC/FLIP) — the
-structural gap is the 36-vs-18-cell spline windows and 2x-wide table
-(docs/PERF.md "APIC extension stage attribution").
+Measured round 4 (TPU v5e, same-process A/Bs in docs/PERF.md): 64^3/953k
+157.5 ms/step (was 224), 128^3/ppc1/1.0M 253.7 (was 265) after
+advect_rk3_pic.  Cross-process numbers from THIS script drift with the
+tunnel's machine states (214-263 observed at 64^3 for the same binary)
+— use scripts/diag_apic_cache_ab.py for comparisons.  The remaining
+~1.7x vs PIC/FLIP is structural (36-vs-18-cell spline windows, 2x-wide
+table).
 
 Usage: python scripts/bench_apic.py [n_steps] [grid] [ppc]
 """
