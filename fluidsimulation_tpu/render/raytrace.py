@@ -121,9 +121,16 @@ class PackedPhi:
     """Packed (4 x 32)-row representation of a cell-centered texture.
 
     Registered as a pytree so a pre-built texture can cross jit boundaries
-    (e.g. pack once, render many bands)."""
+    (e.g. pack once, render many bands).
 
-    def __init__(self, phi=None, *, rows=None, dims=None, ns=None):
+    ``dtype``: row storage type.  float32 (default) reproduces sample_phi
+    bit-for-bit; bfloat16/float16 halve the row bytes (512 -> 256 B) —
+    values are rounded once at pack time and the sample arithmetic runs in
+    f32 after the gather, so the error is one storage rounding of phi
+    (bf16: 2^-8 relative ~ 0.4%; f16: 2^-11 ~ 0.05%)."""
+
+    def __init__(self, phi=None, *, rows=None, dims=None, ns=None,
+                 dtype=None):
         if phi is None:  # tree_unflatten path
             self.rows, self.dims, self.ns = rows, dims, ns
             return
@@ -145,7 +152,8 @@ class PackedPhi:
             ],
             axis=3,
         )  # (nx-1, ny-1, ns, 4, L)
-        self.rows = rows.reshape((nx - 1) * (ny - 1) * self.ns, 4 * _LANES)
+        rows = rows.reshape((nx - 1) * (ny - 1) * self.ns, 4 * _LANES)
+        self.rows = rows if dtype is None else rows.astype(dtype)
 
     def tree_flatten(self):
         return (self.rows,), (self.dims, self.ns)
@@ -170,7 +178,11 @@ def sample_phi_packed(tex: PackedPhi, p):
     seg = (iz // _SEG).astype(jnp.int32)
     key = (ix * (ny - 1) + iy) * tex.ns + seg
     shape = key.shape
-    rows = tex.rows[key.reshape(-1)].reshape(-1, 4, _LANES)
+    rows = (
+        tex.rows[key.reshape(-1)]
+        .reshape(-1, 4, _LANES)
+        .astype(jnp.float32)  # no-op for f32 rows; one cast for bf16/f16
+    )
     lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, _LANES), 2)
     zpos = jnp.float32(_SEG) * seg.reshape(-1, 1, 1).astype(jnp.float32) + lane
     qz = q[..., 2].reshape(-1, 1, 1)
@@ -206,9 +218,13 @@ class PackedPhi9:
     """Packed (9 x 32)-row gradient-tap texture: row (ix, iy, s) holds the
     3x3 (x, y)-corner z-segments [30s, 30s+32) of phi (x/y zero-padded by
     one so the ix+2 / iy+2 corners exist; those lanes are never selected
-    when they'd be out of range — the tap floor is clamped to n-2)."""
+    when they'd be out of range — the tap floor is clamped to n-2).
 
-    def __init__(self, phi=None, *, rows=None, dims=None, ns=None):
+    ``dtype``: row storage type like PackedPhi's (1152 -> 576 B rows for
+    bf16/f16; taps run in f32 after the gather)."""
+
+    def __init__(self, phi=None, *, rows=None, dims=None, ns=None,
+                 dtype=None):
         if phi is None:  # tree_unflatten path
             self.rows, self.dims, self.ns = rows, dims, ns
             return
@@ -229,7 +245,8 @@ class PackedPhi9:
             ],
             axis=3,
         )  # (nx-1, ny-1, ns, 9, L)
-        self.rows = rows.reshape((nx - 1) * (ny - 1) * self.ns, 9 * _LANES)
+        rows = rows.reshape((nx - 1) * (ny - 1) * self.ns, 9 * _LANES)
+        self.rows = rows if dtype is None else rows.astype(dtype)
 
     def tree_flatten(self):
         return (self.rows,), (self.dims, self.ns)
@@ -272,7 +289,7 @@ def compute_gradient9(tex9: PackedPhi9, p):
     iz = i0[:, 2].astype(jnp.int32)
     seg = iz // _S9
     key = (ix * (ny - 1) + iy) * tex9.ns + seg
-    rows = tex9.rows[key].reshape(-1, 9, _LANES)
+    rows = tex9.rows[key].reshape(-1, 9, _LANES).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, _LANES), 2)
     zpos = jnp.float32(_S9) * seg.reshape(-1, 1, 1).astype(jnp.float32) + lane
 

@@ -40,6 +40,37 @@ def test_packed_phi_matches_sample_phi():
     np.testing.assert_allclose(c, d, atol=3e-6)
 
 
+def test_packed_phi_dtype_rows():
+    """bf16/f16 row storage: values round once at pack time, sampling runs
+    in f32 — error bounded by one storage rounding of phi (measured DEAD
+    for perf, docs/PERF.md round 4; the plumbing stays supported)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    phi = rng.normal(size=(16, 16, 16)).astype(np.float32)
+    pts = rng.uniform(0.05, 0.95, size=(1024, 3)).astype(np.float32)
+    base = np.asarray(
+        rt.sample_phi_packed(rt.PackedPhi(jnp.asarray(phi)), jnp.asarray(pts))
+    )
+    for dt, rel in [(jnp.bfloat16, 2.0 ** -8), (jnp.float16, 2.0 ** -11)]:
+        tex = rt.PackedPhi(jnp.asarray(phi), dtype=dt)
+        assert tex.rows.dtype == dt
+        got = np.asarray(rt.sample_phi_packed(tex, jnp.asarray(pts)))
+        assert np.abs(got - base).max() < 4.0 * rel * np.abs(phi).max()
+    if rt.gradient_fits_phi9(phi.shape):
+        g_base = np.asarray(
+            rt.compute_gradient9(rt.PackedPhi9(jnp.asarray(phi)),
+                                 jnp.asarray(pts))
+        )
+        g9 = rt.PackedPhi9(jnp.asarray(phi), dtype=jnp.bfloat16)
+        assert g9.rows.dtype == jnp.bfloat16
+        g_got = np.asarray(rt.compute_gradient9(g9, jnp.asarray(pts)))
+        assert np.isfinite(g_got).all()
+        # Gradients are central differences of O(1) phi over one cell:
+        # one bf16 rounding of each tap => absolute error ~ n * 2^-8.
+        assert np.abs(g_got - g_base).max() < 16 * 4.0 * 2.0 ** -8
+
+
 def test_intersect_aabb():
     co = jnp.array([[0.0, 0.0, -3.0]])
     ci = jnp.array([[0.0, 0.0, 1.0]])
