@@ -155,6 +155,15 @@ def main(argv=None):
         "deep-water frames (docs/PERF.md round 4)",
     )
     ap.add_argument(
+        "--overstep", type=float, default=0.0,
+        help="enhanced sphere tracing on the OUTSIDE water march: step "
+        "omega*dt per probe with certified backtracking "
+        "(raytrace.intersect_water).  The outside march is ~77%% of all "
+        "renderer md() rows; omega ~1.4-1.6 cuts them substantially with a "
+        "small measured pixel-diff bound (docs/PERF.md round 4).  "
+        "0 (default) / 1.0 = the exact reference march",
+    )
+    ap.add_argument(
         "--transfer", choices=("flip", "apic"), default="flip",
         help="transfer model: the reference's hybrid PIC/FLIP (default) "
         "or the APIC extension (affine particle-in-cell, quadratic "
@@ -241,7 +250,8 @@ def main(argv=None):
                 img = render_frame(s.phi, co, right, up, fwd,
                                    width=w, height=h, band_rows=br,
                                    bounces=args.bounces,
-                                   sphere_trace=args.sphere_trace)
+                                   sphere_trace=args.sphere_trace,
+                                   overstep=args.overstep)
             out = np.asarray(img)
             if k > 1:
                 out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)

@@ -625,7 +625,7 @@ SPHERE_SCALE = 1.0
 
 
 def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
-                    probe2=None, margin=None, sphere=None):
+                    probe2=None, margin=None, sphere=None, overstep=None):
     """Render.fx:358-424.  Returns (p_shifted, t), or with ``stats=True``
     (a trace-time flag for the md-transaction floor analysis in
     docs/PERF.md; default path is unchanged) (p_shifted, t, rows) where
@@ -667,6 +667,20 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
     mode with a measured pixel-diff bound (docs/PERF.md round 4).  spec is
     the static probes-per-block count (the default _SPEC elsewhere).
     Mutually exclusive with probe2.
+
+    ``overstep``: enhanced sphere tracing (Keinert et al. 2014) on the
+    OUTSIDE march — step ``omega*dt`` instead of the plain sphere-trace
+    ``dt``; at the next probe the jump is certified iff the two probe
+    spheres overlap (``dt_next + dt >= omega*dt``), otherwise the lane
+    backtracks to the always-safe conservative point ``t - (omega-1)*dt``
+    and re-probes.  Hits and box exits are only ever declared at certified
+    points, so an overshoot can never produce a false hit; what CAN differ
+    from the reference march is tolerance-level surface-t rounding (the
+    probe sequence differs), measured as a pixel-diff bound in
+    docs/PERF.md.  omega is TRACED: omega=1.0 computes the reference
+    result exactly (the certification chain degenerates to the plain
+    march; only the iteration count can differ), which is how equality is
+    asserted in tests/test_render.py.
     """
     p0 = co + 0.5
     initial = md(p0)
@@ -685,29 +699,75 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
     # 1/_UNROLL as often.  Bit-exact: converged lanes are frozen per-lane by
     # their `done` flags, so extra sub-steps past convergence change nothing.
     # --- outside: 64-step sphere trace (Render.fx:369-381)
-    def out_cond(c):
-        i, p, t, done = c
-        return (i < 64) & jnp.any(~done)
+    if overstep is None:
+        def out_cond(c):
+            i, p, t, done = c
+            return (i < 64) & jnp.any(~done)
 
-    def out_body(c):
-        i, p, t, done = c
-        for _ in range(_UNROLL):
-            dt = md(p)
-            t2 = t + dt
-            done2 = done | (dt < 0.001) | (t2 >= max_t)
-            p2 = p0 + t2[..., None] * ci
-            t = jnp.where(done, t, t2)
-            p = jnp.where(done[..., None], p, p2)
-            done = done2
-        return i + _UNROLL, p, t, done
+        def out_body(c):
+            i, p, t, done = c
+            for _ in range(_UNROLL):
+                dt = md(p)
+                t2 = t + dt
+                done2 = done | (dt < 0.001) | (t2 >= max_t)
+                p2 = p0 + t2[..., None] * ci
+                t = jnp.where(done, t, t2)
+                p = jnp.where(done[..., None], p, p2)
+                done = done2
+            return i + _UNROLL, p, t, done
 
-    # Lanes that are "inside" never update their done flag meaningfully;
-    # mark them done so they don't keep the loop alive.
-    i_out, p_o, t_o, _ = jax.lax.while_loop(
-        out_cond,
-        out_body,
-        (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside | junk),
-    )
+        # Lanes that are "inside" never update their done flag
+        # meaningfully; mark them done so they don't keep the loop alive.
+        i_out, _, t_o, _ = jax.lax.while_loop(
+            out_cond,
+            out_body,
+            (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside | junk),
+        )
+    else:
+        omega = jnp.float32(overstep)
+
+        def out_cond(c):
+            i, t, dlast, ostep, done = c
+            return (i < 64) & jnp.any(~done)
+
+        def out_body(c):
+            i, t, dlast, ostep, done = c
+            for _ in range(_UNROLL):
+                dt = md(p0 + t[..., None] * ci)
+                # Certification: the probe spheres at the previous point
+                # (radius dlast) and here must overlap across the
+                # omega*dlast jump; conservative (first/backtracked)
+                # points have ostep=False and certify trivially.
+                fail = ostep & (dt + dlast < omega * dlast)
+                # Hit / box-exit use the UNSCALED dt (the sphere-trace
+                # invariant "no surface within dt" — identical predicates
+                # to the plain march), and only at certified points.
+                t2 = t + dt
+                done2 = done | (~fail & ((dt < 0.001) | (t2 >= max_t)))
+                # Next probe: overstep, or backtrack to the conservative
+                # point the plain march would have reached.
+                t_next = jnp.where(
+                    fail, t - (omega - 1.0) * dlast, t + omega * dt
+                )
+                # Terminal lanes record the plain-march t2 (the reference
+                # march's final t includes the terminal +dt).
+                t = jnp.where(done, t, jnp.where(done2, t2, t_next))
+                dlast = jnp.where(done | fail, dlast, dt)
+                ostep = jnp.where(done, ostep, ~fail)
+                done = done2
+            return i + _UNROLL, t, dlast, ostep, done
+
+        i_out, t_o, _, _, _ = jax.lax.while_loop(
+            out_cond,
+            out_body,
+            (
+                jnp.int32(0),
+                jnp.zeros_like(max_t),
+                jnp.zeros_like(max_t),
+                jnp.zeros(max_t.shape, bool),
+                ~outside | junk,
+            ),
+        )
     t_o = jnp.minimum(t_o, max_t)
     p_o = p0 + t_o[..., None] * ci
 
@@ -898,7 +958,7 @@ def trace_water0(co, ci):
 
 
 def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
-                   probe2=None, margin=None, sphere=None):
+                   probe2=None, margin=None, sphere=None, overstep=None):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
@@ -916,11 +976,11 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
     if stats:
         p_hit, t_hit, md_rows = intersect_water(
             md, inv_m0, co, ci, max_t, dead=dead, stats=True, probe2=probe2,
-            margin=margin, sphere=sphere)
+            margin=margin, sphere=sphere, overstep=overstep)
     else:
         p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead,
                                        probe2=probe2, margin=margin,
-                                       sphere=sphere)
+                                       sphere=sphere, overstep=overstep)
     ipoint = p_hit - 0.5
     # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
     # an epsilon-escaped bounce child: forward it as a miss (the reference's
@@ -961,7 +1021,7 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
 
 
 def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
-                 margin=None, sphere=None):
+                 margin=None, sphere=None, overstep=None):
     """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
     Render.fx:442-515), restructured as *batched* levels: each bounce level
     concatenates its child rays and traces them in one call (4 leaf rays per
@@ -975,14 +1035,16 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     shape = co.shape
 
     r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats,
-                        probe2=probe2, margin=margin, sphere=sphere)
+                        probe2=probe2, margin=margin, sphere=sphere,
+                        overstep=overstep)
     ip1, d_a, w_a, d_b, w_b = r1[:5]
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
     r2 = _expand_bounce(md, inv_m0, co2, d2, w=w2, g9=g9, stats=stats,
-                        probe2=probe2, margin=margin, sphere=sphere)
+                        probe2=probe2, margin=margin, sphere=sphere,
+                        overstep=overstep)
     ip2, d_c, w_c, d_d, w_d = r2[:5]
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
@@ -997,11 +1059,13 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     return out
 
 
-def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None):
+def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None,
+                 overstep=None):
     """1-bounce variant (traceWater1), kept for API parity."""
     shape = co.shape
     ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9,
-                                             probe2=probe2, sphere=sphere)
+                                             probe2=probe2, sphere=sphere,
+                                             overstep=overstep)
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
@@ -1012,7 +1076,7 @@ def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None):
 # -- top-level pixel shader --------------------------------------------------
 
 def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
-          skip_margin=None, sphere=None):
+          skip_margin=None, sphere=None, overstep=None):
     """PS main (Render.fx:518-578) for ray batches.
 
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
@@ -1051,12 +1115,14 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
     if bounces >= 2:
         col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9,
                                  stats=stats, probe2=probe2,
-                                 margin=skip_margin, sphere=sphere)
+                                 margin=skip_margin, sphere=sphere,
+                                 overstep=overstep)
         if stats:
             col_water, st = col_water
     elif bounces == 1:
         col_water = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9,
-                                 probe2=probe2, sphere=sphere)
+                                 probe2=probe2, sphere=sphere,
+                                 overstep=overstep)
     else:
         col_water = trace_water0(prim_co, prim_ci)
     col_sky = sample_environment(ci)
@@ -1083,7 +1149,7 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int, y0, x0,
                  g9=None, bounces: int = 2, texs=None,
                  sphere_margin=None, sphere_scale=None,
-                 sphere_spec: int | None = None):
+                 sphere_spec: int | None = None, overstep=None):
     """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
     px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
     py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
@@ -1097,7 +1163,7 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
         else (sphere_margin, sphere_scale, sphere_spec)
     )
     return shade(tex, co, ci, g9=g9, bounces=bounces, texs=texs,
-                 sphere=sphere)
+                 sphere=sphere, overstep=overstep)
 
 
 @functools.partial(
@@ -1109,7 +1175,7 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int,
                  g9=None, bounces: int = 2, texs=None,
                  sphere_margin=None, sphere_scale=None,
-                 sphere_spec: int | None = None):
+                 sphere_spec: int | None = None, overstep=None):
     """All tiles under ONE compiled program (lax.scan over tile origins):
     keeps the per-tile whole-batch early exits while paying dispatch
     overhead once (measured ~3 ms per dispatch through the axon tunnel —
@@ -1125,7 +1191,7 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, tile_h, tile_w, yx[0], yx[1], g9=g9,
             bounces=bounces, texs=texs,
             sphere_margin=sphere_margin, sphere_scale=sphere_scale,
-            sphere_spec=sphere_spec,
+            sphere_spec=sphere_spec, overstep=overstep,
         )
         return 0, img
 
@@ -1138,7 +1204,8 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
            band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
            interior_skip: bool = False, sphere_trace: bool = False,
            sphere_margin: float = SPHERE_MARGIN,
-           sphere_scale: float = SPHERE_SCALE, sphere_spec: int = _SPEC):
+           sphere_scale: float = SPHERE_SCALE, sphere_spec: int = _SPEC,
+           overstep: float = 0.0):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
@@ -1167,6 +1234,11 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     distance samples the march already fetched (no auxiliary texture, no
     extra gathers).  Approximate — measured pixel-diff bound in
     docs/PERF.md round 4; scale=0 reproduces the exact march.
+
+    ``overstep``: omega > 1 enables enhanced sphere tracing on the
+    OUTSIDE march (the dominant md()-row cost on every measured scene) —
+    see intersect_water.  Approximate with a measured pixel-diff bound
+    (docs/PERF.md round 4); 0.0/1.0 keep the exact reference march.
     """
     if isinstance(phi, (PackedPhi, PackedPhi8)):
         tex, g9, texs = phi, None, None
@@ -1189,12 +1261,13 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     sm = jnp.float32(sphere_margin) if sphere_trace else None
     sc = jnp.float32(sphere_scale) if sphere_trace else None
     sp = sphere_spec if sphere_trace else None
+    ov = jnp.float32(overstep) if overstep and overstep > 1.0 else None
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, height, width, jnp.float32(0), jnp.float32(0),
             g9=g9, bounces=bounces, texs=texs,
-            sphere_margin=sm, sphere_scale=sc, sphere_spec=sp,
+            sphere_margin=sm, sphere_scale=sc, sphere_spec=sp, overstep=ov,
         )
     tile_h = band_rows if 0 < band_rows <= height else height
     tile_w = band_cols if 0 < band_cols <= width else (
@@ -1203,7 +1276,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     return _render_scan(
         tex, cam_pos, cam_right, cam_up, cam_fwd,
         width, height, tile_h, tile_w, g9=g9, bounces=bounces, texs=texs,
-        sphere_margin=sm, sphere_scale=sc, sphere_spec=sp,
+        sphere_margin=sm, sphere_scale=sc, sphere_spec=sp, overstep=ov,
     )
 
 
@@ -1211,7 +1284,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     jax.jit,
     static_argnames=("width", "height", "band_rows", "band_cols", "bounces",
                      "interior_skip", "sphere_trace", "sphere_margin",
-                     "sphere_scale", "sphere_spec"),
+                     "sphere_scale", "sphere_spec", "overstep"),
 )
 def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  width: int, height: int,
@@ -1219,7 +1292,7 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  interior_skip: bool = False, sphere_trace: bool = False,
                  sphere_margin: float = SPHERE_MARGIN,
                  sphere_scale: float = SPHERE_SCALE,
-                 sphere_spec: int = _SPEC):
+                 sphere_spec: int = _SPEC, overstep: float = 0.0):
     """One fully-jitted frame from the RAW level set: the texture builds
     (PackedPhi + the Phi9 gradient rows) compile into the same program as
     the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
@@ -1234,4 +1307,4 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                   band_rows=band_rows, band_cols=band_cols, bounces=bounces,
                   interior_skip=interior_skip, sphere_trace=sphere_trace,
                   sphere_margin=sphere_margin, sphere_scale=sphere_scale,
-                  sphere_spec=sphere_spec)
+                  sphere_spec=sphere_spec, overstep=overstep)

@@ -159,6 +159,39 @@ def test_sphere_trace_mode_matches_exact():
     np.testing.assert_array_equal(base, on)
 
 
+def test_overstep_omega1_matches_exact():
+    """Enhanced sphere tracing on the outside march (round 4): omega=1.0
+    degenerates the certification chain to the plain march — bit-identical
+    image; omega>1 is the approximate fast mode, bounded here loosely (the
+    recorded pixel-diff bounds live in docs/PERF.md)."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(3):
+        state = step_jit(state, 1.0 / 120.0, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+
+    base = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40)
+    )
+    eq = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, overstep=1.0)
+    )
+    np.testing.assert_array_equal(base, eq)
+
+    fast = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, overstep=1.6)
+    )
+    assert np.isfinite(fast).all()
+    d = np.abs(fast - base)
+    # Certified hits only: differences are tolerance-level surface-t
+    # rounding on a small fraction of (grazing) pixels.
+    assert (d.max(-1) > 1 / 255).mean() < 0.05
+    assert d.mean() < 5e-3
+
+
 def test_escaped_bounce_child_is_miss():
     """Children whose epsilon step escapes the box (max_t <= 0) forward as
     misses (the reference short-circuits misses to traceWater0); marching
