@@ -164,6 +164,14 @@ def main(argv=None):
         "0 (default) / 1.0 = the exact reference march",
     )
     ap.add_argument(
+        "--serve", type=int, default=0, metavar="PORT",
+        help="live interactive display: serve the latest frame as an "
+        "MJPEG stream at http://127.0.0.1:PORT/ with browser mouse orbit/"
+        "zoom and the + - 0 r q keys (app/liveview.py — the reference "
+        "window's OnMouseMove equivalent, FluidSimDemo.cpp:251-293).  "
+        "Commands use the same text protocol as the stdin stream",
+    )
+    ap.add_argument(
         "--transfer", choices=("flip", "apic"), default="flip",
         help="transfer model: the reference's hybrid PIC/FLIP (default) "
         "or the APIC extension (affine particle-in-cell, quadratic "
@@ -202,9 +210,19 @@ def main(argv=None):
     rate = args.rate
     meter = Meter(cfg.num_particles)
 
+    live = None
+    if args.serve:
+        from .liveview import LiveView
+
+        live = LiveView(args.serve)
+        print(f"live view: http://127.0.0.1:{live.port}/")
+
+    quit_now = False
     for i in range(args.steps):
-        cmd = _poll_stdin()
-        if cmd:
+        cmds = [c for c in [_poll_stdin()] if c]
+        if live is not None:
+            cmds.extend(live.poll_cmds())
+        for cmd in cmds:
             if cmd == "+":
                 rate = min(rate * 2.0, 1.0)
             elif cmd == "-":
@@ -216,12 +234,14 @@ def main(argv=None):
             elif cmd == "r":
                 state = _init(cfg)
             elif cmd == "q":
-                break
+                quit_now = True
             elif cmd.startswith("o "):
                 _, dx, dy = cmd.split()
                 cam.orbit(float(dx), float(dy))
             elif cmd.startswith("z "):
                 cam.zoom(float(cmd.split()[1]), args.height)
+        if quit_now:
+            break
 
         dt = clamp_dt(cfg, args.dt, rate)
         t0 = time.perf_counter()
@@ -288,6 +308,8 @@ def main(argv=None):
             write_ppm(
                 os.path.join(args.out, f"frame_{i:05d}.ppm"), img_holder[0]
             )
+            if live is not None:
+                live.publish(img_holder[0])
 
         if i % 10 == 0:
             print(f"step {i}: {step_ms:.1f} ms  ({meter.summary()})")

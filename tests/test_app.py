@@ -81,3 +81,37 @@ def test_demo_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert (tmp_path / "frame_00000.ppm").exists()
     assert (tmp_path / "final_state.npz").exists()
+
+
+def test_liveview_roundtrip():
+    """LiveView (app/liveview.py): publish a frame, fetch the page, one
+    MJPEG part off /stream, and push a command through /cmd — the headless
+    equivalent of the reference's interactive window."""
+    import urllib.request
+
+    from fluidsimulation_tpu.app.liveview import LiveView
+
+    lv = LiveView(port=0)  # ephemeral port
+    try:
+        img = np.random.default_rng(1).random((24, 32, 3)).astype(np.float32)
+        lv.publish(img)
+        base = f"http://127.0.0.1:{lv.port}"
+
+        page = urllib.request.urlopen(f"{base}/", timeout=10).read()
+        assert b"/stream" in page
+
+        r = urllib.request.urlopen(f"{base}/stream", timeout=10)
+        head = r.read(200)
+        assert b"--frame" in head and (
+            b"image/jpeg" in head or b"image/png" in head
+        )
+        r.close()
+
+        urllib.request.urlopen(
+            f"{base}/cmd?c=o%2010%20-5", timeout=10
+        ).read()
+        urllib.request.urlopen(f"{base}/cmd?c=%2B", timeout=10).read()
+        assert lv.poll_cmds() == ["o 10 -5", "+"]
+        assert lv.poll_cmds() == []
+    finally:
+        lv.close()
