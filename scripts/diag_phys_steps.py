@@ -1,11 +1,11 @@
-"""Per-step wall times of the physical 128^3 config (one process).
+"""Per-step wall times of a fused-step config (one process).
 
-Settles the 873 ms (diag_physical128, steps 2-4 from init) vs 7864 ms
-(profile_fast, 5-step average) discrepancy: is the fused step cost
-state-dependent (overflow branch / clumping) or was one process in a bad
-machine state?
+Settled round 4: the 7864 ms profile_fast reading at the physical 128^3
+config was ONE ~39 s tunnel stall on the first post-compile execution
+amortized over a 5-step loop; steady state is ~940 ms/step.  Per-step
+timing makes such stalls visible instead of folding them into averages.
 
-Usage (TPU): python scripts/diag_phys_steps.py [n_steps]
+Usage (TPU): python scripts/diag_phys_steps.py [n_steps] [grid] [ppc]
 """
 
 import sys
@@ -32,7 +32,8 @@ def fetch(s):
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    grid, ppc = 128, 2
+    grid = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    ppc = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cfg = SimConfig(nx=grid, ny=grid, nz=grid, cells_per_meter=float(grid),
                     particles_per_cell_axis=ppc)
     dt = jnp.float32(1 / 120)
