@@ -22,10 +22,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig
 
 # Mosaic stack-allocates every live vector temporary against a 16 MB scoped
-# VMEM limit; measured: this kernel compiles up to 48^3 (~17.2 MB of stack
-# at 64^3 even with slice-wise updates — the minor-axis shifted loads each
-# pin a full-array relayout temp).  Auto-enable only below that.
+# VMEM limit; measured round 1: this kernel compiles up to 48^3 under the
+# default limit (~17.2 MB of stack at 64^3 even with slice-wise updates —
+# the minor-axis shifted loads each pin a full-array relayout temp).
+#
+# Round 4 follow-up (scripts/diag_sor64.py): the scoped limit IS raisable
+# (pallas_sweep proved 32 MiB works through the axon remote compile) and
+# 64^3 then COMPILES — but measures a WASH vs the fused XLA form (16.34
+# vs 15.15 ms on real step-8 solve inputs; the per-half-iteration z-shift
+# relayouts eat the HBM saving) and is no longer bit-equal (9.8e-3 max
+# diff after 100 iterations; different codegen under the raised cap).
+# So the auto-gate stays at the round-1 ≤48^3 budget where the kernel is
+# both a measured win and equality-tested; the raised-cap path is kept
+# for callers forcing larger grids (128^3 remains impossible: ~24 live
+# full-array equivalents x 8.4 MB > the chip's VMEM).
 _VMEM_BUDGET_BYTES = 3 * 1024 * 1024
+_RAISED_CAP = 48 * 1024 * 1024
+_DEFAULT_SCOPED_VMEM = 16 * 1024 * 1024
+
+
+def _stack_estimate(cells: int) -> int:
+    """Measured stack scaling: ~17.2 MiB at 64^3 + the 7 explicit arrays
+    (3 in, 1 out, 3 scratch) = ~24 full-array equivalents."""
+    return 24 * cells * 4
 
 
 def fits_vmem(cfg: SimConfig) -> bool:
@@ -104,10 +123,18 @@ def sor_pressure_pallas(cfg: SimConfig, phi, diag, b, iterations=None,
     kernel = functools.partial(_sor_kernel, iters, omega)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    cells = b.shape[0] * b.shape[1] * b.shape[2]
+    params = {}
+    need = _stack_estimate(cells)
+    if need > _DEFAULT_SCOPED_VMEM:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(_RAISED_CAP, need + 4 * 1024 * 1024)
+        )
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        **params,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
