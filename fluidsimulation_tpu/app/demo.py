@@ -79,7 +79,23 @@ def _main_2d(args):
     state = init_state2d(cfg)
     rate = args.rate
     meter = Meter(cfg.num_particles)
+    live = None
+    if getattr(args, "serve", 0):
+        from .liveview import LiveView
+
+        live = LiveView(args.serve)
+        print(f"live view: http://127.0.0.1:{live.port}/")
     for i in range(args.steps):
+        for cmd in live.poll_cmds() if live is not None else ():
+            if cmd == "+":
+                rate = min(rate * 2.0, 1.0)
+            elif cmd == "-":
+                rate = max(
+                    rate / 2.0,
+                    float(np.finfo(np.float32).smallest_subnormal),
+                )
+            elif cmd == "r":
+                state = init_state2d(cfg)
         dt = float(np.clip(args.dt * rate, 0.0, cfg.max_dt))
         t0 = time.perf_counter()
         state = step2d_jit(state, dt, cfg)
@@ -87,7 +103,10 @@ def _main_2d(args):
         meter.tick()
         if args.render_every and (i % args.render_every == 0):
             img = splat_particles_2d(state.pos, args.width, args.height)
-            write_ppm(os.path.join(args.out, f"frame2d_{i:05d}.ppm"), np.asarray(img))
+            out = np.asarray(img)
+            write_ppm(os.path.join(args.out, f"frame2d_{i:05d}.ppm"), out)
+            if live is not None:
+                live.publish(out)
         if i % 10 == 0:
             print(f"step {i}: {1000*(time.perf_counter()-t0):.1f} ms ({meter.summary()})")
     print(meter.summary())
