@@ -41,11 +41,13 @@ from .raytrace import PackedPhi, PackedPhi9, _render_tile, gradient_fits_phi9
 
 def make_sharded_render(mesh: Mesh, width: int, height: int,
                         tile_h: int = 100, tile_w: int = 100,
-                        bounces: int = 2):
+                        bounces: int = 2, overstep: float = 0.0):
     """Build a jitted frame(phi, cam_pos, cam_right, cam_up, cam_fwd) that
     renders (height, width, 3) with the frame's tiles sharded over `mesh`
     (1-D).  Tile defaults match the single-chip 128³ optimum (100×100,
-    docs/PERF.md tile sweep)."""
+    docs/PERF.md tile sweep).  ``overstep``: the single-chip renderer's
+    certified outside-march mode (raytrace.intersect_water; 0/1.0 =
+    exact), applied identically per tile."""
     assert len(mesh.axis_names) == 1, "1-D mesh"
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
@@ -59,11 +61,13 @@ def make_sharded_render(mesh: Mesh, width: int, height: int,
     ys = jnp.asarray(np.pad(ys, (0, n_pad - n_tiles)))
     xs = jnp.asarray(np.pad(xs, (0, n_pad - n_tiles)))
 
+    ov = jnp.float32(overstep) if overstep and overstep > 1.0 else None
+
     def local_tiles(tex, g9, co, right, up, fwd, ys_l, xs_l):
         def body(_, yx):
             img = _render_tile(
                 tex, co, right, up, fwd, width, height, tile_h, tile_w,
-                yx[0], yx[1], g9=g9, bounces=bounces,
+                yx[0], yx[1], g9=g9, bounces=bounces, overstep=ov,
             )
             return 0, img
 
