@@ -85,6 +85,7 @@ def _main_2d(args):
 
         live = LiveView(args.serve)
         print(f"live view: http://127.0.0.1:{live.port}/")
+    quit_now = False
     for i in range(args.steps):
         for cmd in live.poll_cmds() if live is not None else ():
             if cmd == "+":
@@ -96,6 +97,10 @@ def _main_2d(args):
                 )
             elif cmd == "r":
                 state = init_state2d(cfg)
+            elif cmd == "q":
+                quit_now = True
+        if quit_now:
+            break
         dt = float(np.clip(args.dt * rate, 0.0, cfg.max_dt))
         t0 = time.perf_counter()
         state = step2d_jit(state, dt, cfg)
@@ -242,6 +247,7 @@ def main(argv=None):
         if live is not None:
             cmds.extend(live.poll_cmds())
         for cmd in cmds:
+          try:
             if cmd == "+":
                 rate = min(rate * 2.0, 1.0)
             elif cmd == "-":
@@ -259,6 +265,10 @@ def main(argv=None):
                 cam.orbit(float(dx), float(dy))
             elif cmd.startswith("z "):
                 cam.zoom(float(cmd.split()[1]), args.height)
+          except (ValueError, IndexError):
+            # Malformed command (stdin typo; liveview validates upstream):
+            # ignore rather than kill a long run.
+            print(f"ignoring malformed command: {cmd!r}")
         if quit_now:
             break
 

@@ -18,6 +18,7 @@ stream falls back to a pure-zlib PNG encode (stdlib only).
 from __future__ import annotations
 
 import io
+import re
 import struct
 import threading
 import zlib
@@ -26,6 +27,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+# Commands accepted from the page — the same text protocol the stdin
+# stream uses, VALIDATED here so a malformed /cmd (typo'd curl, or a
+# side-effecting GET fired at localhost by an unrelated webpage) can never
+# inject garbage that crashes the demo's command parser.
+_CMD_RE = re.compile(
+    r"^([+\-0rq]"
+    r"|o -?\d+(\.\d+)? -?\d+(\.\d+)?"
+    r"|z -?\d+(\.\d+)?)$"
+)
 
 _PAGE = """<!doctype html>
 <html><head><title>fluidsimulation-tpu live view</title>
@@ -83,6 +94,12 @@ def _encode_png(arr: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def _quantize(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return np.ascontiguousarray(arr)
+
+
 def _encode(arr: np.ndarray) -> tuple[bytes, str]:
     try:
         from PIL import Image
@@ -98,15 +115,17 @@ class LiveView:
     """Threaded frame streamer + command inbox.
 
     ``publish(img)`` takes the demo's float image (H, W, 3) in [0, 1-ish]
-    or a uint8 array, encodes once, and wakes every connected /stream
-    client.  ``poll_cmds()`` drains commands posted by the page (same text
-    protocol as the stdin stream).  The server thread is a daemon: it dies
-    with the process; ``close()`` shuts it down explicitly."""
+    or a uint8 array and wakes every connected /stream client; encoding is
+    lazy (handler-thread side, cached per frame), so publishing with no
+    viewer costs nothing.  ``poll_cmds()`` drains validated commands
+    posted by the page (same text protocol as the stdin stream).  The
+    server thread is a daemon: it dies with the process; ``close()`` shuts
+    it down explicitly."""
 
     def __init__(self, port: int = 8000, host: str = "127.0.0.1"):
         self._cond = threading.Condition()
-        self._frame: bytes | None = None
-        self._ctype = "image/jpeg"
+        self._raw: np.ndarray | None = None
+        self._enc: tuple[int, bytes, str] | None = None
         self._seq = 0
         self._cmds: deque[str] = deque()
         self._cmd_lock = threading.Lock()
@@ -129,7 +148,7 @@ class LiveView:
                     self.wfile.write(body)
                 elif u.path == "/cmd":
                     c = parse_qs(u.query).get("c", [""])[0].strip()
-                    if c:
+                    if c and _CMD_RE.match(c):
                         with view._cmd_lock:
                             view._cmds.append(c)
                     self.send_response(204)
@@ -149,10 +168,20 @@ class LiveView:
                                 view._cond.wait_for(
                                     lambda: view._seq != seq, timeout=5.0
                                 )
-                                frame, ctype = view._frame, view._ctype
-                                seq = view._seq
-                            if frame is None:
+                                raw, s2 = view._raw, view._seq
+                                enc = view._enc
+                            if raw is None:
                                 continue
+                            # Encode HERE (handler thread, off the demo's
+                            # step loop), once per published frame — shared
+                            # by all connected clients via the seq cache.
+                            if enc is not None and enc[0] == s2:
+                                _, frame, ctype = enc
+                            else:
+                                frame, ctype = _encode(_quantize(raw))
+                                with view._cond:
+                                    view._enc = (s2, frame, ctype)
+                            seq = s2
                             self.wfile.write(
                                 b"--frame\r\nContent-Type: "
                                 + ctype.encode()
@@ -175,12 +204,13 @@ class LiveView:
         self._thread.start()
 
     def publish(self, img) -> None:
+        # O(1) for the caller: stash the array and wake waiters.  The
+        # quantize + JPEG encode runs lazily in a /stream handler thread
+        # (cached per seq, shared by all clients) — an unwatched --serve
+        # run costs the step loop nothing.
         arr = np.asarray(img)
-        if arr.dtype != np.uint8:
-            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-        frame, ctype = _encode(np.ascontiguousarray(arr))
         with self._cond:
-            self._frame, self._ctype = frame, ctype
+            self._raw = arr
             self._seq += 1
             self._cond.notify_all()
 

@@ -378,10 +378,14 @@ class ApicTable:
 
 
 def build_apic_table(cfg: SimConfig, pos, vel, C,
-                     k: int | None = None, overflow_cap: int = 4096):
-    """celltable._build_from_cells with a 16-field payload (see ApicTable)."""
+                     k: int | None = None, overflow_cap: int | None = None):
+    """celltable._build_from_cells with a 16-field payload (see ApicTable).
+    overflow_cap defaults to cfg.overflow_cap like the FLIP table build, so
+    the demo's --overflow-cap / autotune tiers apply to APIC too."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     K = default_k(cfg) if k is None else k
+    if overflow_cap is None:
+        overflow_cap = cfg.overflow_cap
     F = 16
     W = 8 if K <= 8 else 16  # W*F = 128 / 256 lanes: both fast-gather widths
     assert K <= W

@@ -1241,8 +1241,21 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     (docs/PERF.md round 4); 0.0/1.0 keep the exact reference march.
     """
     if isinstance(phi, (PackedPhi, PackedPhi8)):
+        if sphere_trace:
+            # A pre-built texture was packed from RAW phi, which saturates
+            # at ~-particle_radius inside the fluid — the skip would clamp
+            # to 0 steps and silently do nothing.  Require raw phi.
+            raise ValueError(
+                "sphere_trace needs the raw level set (the march texture "
+                "must be deepened at pack time; pass phi, not a PackedPhi)"
+            )
         tex, g9, texs = phi, None, None
     else:
+        if interior_skip and sphere_trace:
+            raise ValueError(
+                "interior_skip and sphere_trace are mutually exclusive "
+                "inside-march skips — pick one"
+            )
         if sphere_trace:
             from .interior import deepen_phi
 

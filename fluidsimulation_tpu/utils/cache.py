@@ -22,16 +22,20 @@ _DEFAULT_DIR = os.path.join(
     ".jax_cache",
 )
 
-_enabled = False
+_enabled_path: str | None = None
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX at an on-disk compilation cache.  Returns the directory on
-    success, None if the cache could not be enabled."""
-    global _enabled
+    success, None if the cache could not be enabled.  Idempotent: repeat
+    calls (every entry point calls this defensively) return the already-
+    configured path without touching jax.config again."""
+    global _enabled_path
     import jax
 
     path = cache_dir or os.environ.get("FST_JAX_CACHE_DIR") or _DEFAULT_DIR
+    if _enabled_path is not None and cache_dir is None:
+        return _enabled_path
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
@@ -39,7 +43,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         # many sub-second helper jits that still add up across a process.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _enabled = True
+        _enabled_path = path
         return path
     except Exception:
         return None

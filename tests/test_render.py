@@ -174,11 +174,31 @@ def test_overstep_omega1_matches_exact():
         rt.render(state.phi, co, right, up, fwd, 80, 60,
                   band_rows=30, band_cols=40)
     )
-    eq = np.asarray(
+    # render() maps overstep<=1.0 to the plain march (mode off) — assert
+    # that gate, then drive the CERTIFIED-OVERSTEP LOOP ITSELF at
+    # omega=1.0 through shade() (render can't reach it at 1.0 by design).
+    off = np.asarray(
         rt.render(state.phi, co, right, up, fwd, 80, 60,
                   band_rows=30, band_cols=40, overstep=1.0)
     )
-    np.testing.assert_array_equal(base, eq)
+    np.testing.assert_array_equal(base, off)
+
+    import jax.numpy as jnp
+
+    tex = rt.PackedPhi(state.phi)
+    g9 = (rt.PackedPhi9(state.phi)
+          if rt.gradient_fits_phi9(state.phi.shape) else None)
+    px = (np.arange(80, dtype=np.float32) + 0.5) / 80
+    py = (np.arange(60, dtype=np.float32) + 0.5) / 60
+    fx, fy = np.meshgrid(px, py, indexing="xy")
+    ci = rt._norm(jnp.asarray(-1 + 2 * fx)[..., None] * right
+                  + jnp.asarray(1 - 2 * fy)[..., None] * up + fwd)
+    co_b = jnp.broadcast_to(co, ci.shape)
+    plain = np.asarray(rt.shade(tex, co_b, ci, g9=g9))
+    loop1 = np.asarray(
+        rt.shade(tex, co_b, ci, g9=g9, overstep=jnp.float32(1.0))
+    )
+    np.testing.assert_array_equal(plain, loop1)
 
     fast = np.asarray(
         rt.render(state.phi, co, right, up, fwd, 80, 60,
