@@ -671,6 +671,16 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
                     accs[k] = accs[k] + (wgt * val).sum(2)
                     amts[k] = amts[k] + wgt.sum(2)
 
+    return _finalize_apic_faces(cfg, table, pc, vel, C, accs, amts)
+
+
+def _finalize_apic_faces(cfg: SimConfig, table, pc, vel, C, accs, amts):
+    """Shared tail of the fused cell-indexed P2G forms: shift the
+    cell-indexed accumulators onto face grids (face i stores the value
+    accumulated at cell i-1 along the staggered axis), apply the exact
+    bounded overflow scatter, normalize, and force the boundary faces —
+    identical op sequence for the per-cell and supercell tables."""
+    nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
     out = []
     for k, shape in ((0, (nx + 1, ny, nz)), (1, (nx, ny + 1, nz)),
                      (2, (nx, ny, nz + 1))):

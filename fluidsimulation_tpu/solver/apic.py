@@ -66,18 +66,29 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
     pos = advect_rk3_pic(cfg, state.u, state.v, state.w, state.pos,
                          state.vel, dt)
     if fast:
-        from ..ops.apic import build_apic_table, p2g_apic_from_table_fused
-        from ..ops.celltable import (
-            seed_closest_from_table,
-            seed_overflow_correction,
-        )
+        from ..ops.celltable import seed_overflow_correction
         from ..ops.levelset import FAR, neighborhood_pass, sweep_closest
-        from .step3d import use_pallas_kernels
+        from .step3d import use_pallas_kernels, use_super_table
 
-        table = build_apic_table(cfg, pos, state.vel, state.C)
-        # Level set from the SAME table (fields 0-2/6 are layout-shared
-        # with CellTable): replaces the 44 ms direct 27-neighborhood seed.
-        phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
+        use_super = use_super_table(cfg)
+        if use_super:
+            # ppc_axis == 1: bin at (2,2,1) supercell granularity like the
+            # FLIP fast path — table 2.5x smaller, 4x fewer build-gather
+            # rows, ~0.67x P2G window volume (ops/apic_super.py).
+            from ..ops.apic_super import build_apic_super_table
+            from ..ops.supertable import seed_closest_from_super
+
+            table = build_apic_super_table(cfg, pos, state.vel, state.C)
+            phi0, cpos0 = seed_closest_from_super(cfg, table, FAR)
+        else:
+            from ..ops.apic import build_apic_table
+            from ..ops.celltable import seed_closest_from_table
+
+            table = build_apic_table(cfg, pos, state.vel, state.C)
+            # Level set from the SAME table (fields 0-2/6 are layout-shared
+            # with CellTable): replaces the 44 ms direct 27-neighborhood
+            # seed.
+            phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
         phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
         if use_pallas_kernels(cfg):
             from ..ops.pallas_seed import neighborhood_pass_pallas
@@ -94,11 +105,21 @@ def step_apic(state: ApicState, dt, cfg: SimConfig,
         else:
             phi, cpos = neighborhood_pass(cfg, cpos0)
             phi, _ = sweep_closest(cfg, phi, cpos)
-        # Union-window fused form: bit-identical to the unfused windows,
-        # 64.4 vs 70.4 ms at 64^3/953k same-process (54 vs 108 reads).
-        u, v, w, uv, vv, wv = p2g_apic_from_table_fused(
-            cfg, table, pos, state.vel, state.C
-        )
+        if use_super:
+            from ..ops.apic_super import p2g_apic_from_super_fused
+
+            u, v, w, uv, vv, wv = p2g_apic_from_super_fused(
+                cfg, table, pos, state.vel, state.C
+            )
+        else:
+            from ..ops.apic import p2g_apic_from_table_fused
+
+            # Union-window fused form: bit-identical to the unfused
+            # windows, 64.4 vs 70.4 ms at 64^3/953k same-process (54 vs
+            # 108 reads).
+            u, v, w, uv, vv, wv = p2g_apic_from_table_fused(
+                cfg, table, pos, state.vel, state.C
+            )
     else:
         phi, _ = compute_level_set(cfg, pos)
         u, v, w, uv, vv, wv = p2g_apic(cfg, pos, state.vel, state.C)

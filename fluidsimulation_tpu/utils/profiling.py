@@ -305,10 +305,16 @@ def profile_step(
 
 
 def _apic_seed_stage(cfg, use_pallas, table, pos):
+    from ..ops.apic_super import ApicSuperTable
     from ..ops.celltable import seed_closest_from_table, seed_overflow_correction
     from ..ops.levelset import FAR, neighborhood_pass
 
-    phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
+    if isinstance(table, ApicSuperTable):
+        from ..ops.supertable import seed_closest_from_super
+
+        phi0, cpos0 = seed_closest_from_super(cfg, table, FAR)
+    else:
+        phi0, cpos0 = seed_closest_from_table(cfg, table, FAR)
     phi0, cpos0 = seed_overflow_correction(cfg, table, pos, phi0, cpos0)
     if use_pallas:
         from ..ops.pallas_seed import neighborhood_pass_pallas
@@ -342,19 +348,27 @@ def profile_step_apic(state, dt, cfg: SimConfig, render_fn=None):
         g2p_apic_packed,
         p2g_apic_from_table_fused,
     )
+    from ..ops.apic_super import (
+        build_apic_super_table,
+        p2g_apic_from_super_fused,
+    )
     from ..solver.apic import ApicState
-    from ..solver.step3d import use_pallas_kernels
+    from ..solver.step3d import use_pallas_kernels, use_super_table
 
     prof = StageProfiler()
     dt = jnp.float32(dt)
     use_pallas = use_pallas_kernels(cfg)
+    use_super = use_super_table(cfg)
+    build = build_apic_super_table if use_super else build_apic_table
+    p2g_fused = (p2g_apic_from_super_fused if use_super
+                 else p2g_apic_from_table_fused)
 
     pos = prof.timed(
         "ADVECT", _jitted(advect_rk3_pic),
         cfg, state.u, state.v, state.w, state.pos, state.vel, dt,
     )
     table = prof.timed(
-        "TRANSFERPTG_BIN", _jitted(build_apic_table),
+        "TRANSFERPTG_BIN", _jitted(build),
         cfg, pos, state.vel, state.C,
     )
     phi0, cpos0 = prof.timed(
@@ -366,7 +380,7 @@ def profile_step_apic(state, dt, cfg: SimConfig, render_fn=None):
         cfg, use_pallas, phi0, cpos0,
     )
     u, v, w, uv, vv, wv = prof.timed(
-        "TRANSFERPTG_VELOCITY", _jitted(p2g_apic_from_table_fused),
+        "TRANSFERPTG_VELOCITY", _jitted(p2g_fused),
         cfg, table, pos, state.vel, state.C,
     )
     ex = _jitted_nostatic(extrapolate.extrapolate_one_ring)
