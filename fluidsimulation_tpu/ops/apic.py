@@ -63,15 +63,22 @@ def _quad_spline(d):
     return jnp.where(ad < 0.5, inner, jnp.where(ad < 1.5, outer, 0.0))
 
 
-def _component_nodes(cfg: SimConfig, pc, comp_axis: int):
+def _component_nodes(cfg: SimConfig, pc, comp_axis: int, m_meters=None):
     """Yield (idx3, ok, w, dxm) for the 27 spline nodes of one component.
 
     pc: (N, 3) positions in cell units (cell centers at integers).
     idx3: list of 3 (N,) int32 node indices; ok: (N,) in-range mask;
     w: (N,) spline weight; dxm: list of 3 (N,) node-minus-particle offsets
     in METERS (x_i - x_p), the APIC lever arm.
+
+    m_meters: per-axis cells-per-meter for the dxm conversion — defaults
+    to cfg's dims (unit-cube domain).  Sharded callers working in a
+    shifted LOCAL cell frame pass the GLOBAL dims here while cfg carries
+    the local extent (parallel/halo_apic.py).
     """
     dims = (cfg.nx, cfg.ny, cfg.nz)
+    if m_meters is None:
+        m_meters = dims
     t, base = [], []
     for ax in range(3):
         ta = pc[:, ax] + (0.5 if ax == comp_axis else 0.0)
@@ -91,7 +98,7 @@ def _component_nodes(cfg: SimConfig, pc, comp_axis: int):
                     d = t[ax] - idx[ax].astype(jnp.float32)
                     w = w * _quad_spline(d)
                     # node_pos - pc = idx - t (cell units) -> meters.
-                    dxm.append(-d / jnp.float32(dims[ax]))
+                    dxm.append(-d / jnp.float32(m_meters[ax]))
                 yield idx, ok, w, dxm
 
 
@@ -386,21 +393,36 @@ def build_apic_table(cfg: SimConfig, pos, vel, C,
     K = default_k(cfg) if k is None else k
     if overflow_cap is None:
         overflow_cap = cfg.overflow_cap
+    pc = pos * jnp.array([nx, ny, nz], jnp.float32)
+    return _build_apic_from_cells((nx, ny, nz), K, pc, vel, C,
+                                  overflow_cap=overflow_cap)
+
+
+def _build_apic_from_cells(dims, K: int, pc, vel, C, valid=None,
+                           overflow_cap: int = 4096):
+    """Shape-based core of build_apic_table (the celltable._build_from_cells
+    pattern): pc in CELL units of a `dims` frame; valid rows optional —
+    invalid rows (padding in a sharded shard-local build) are excluded
+    from the table, counts, and overflow (parallel/halo_apic.py)."""
+    nx, ny, nz = dims
     F = 16
     W = 8 if K <= 8 else 16  # W*F = 128 / 256 lanes: both fast-gather widths
     assert K <= W
-    m = jnp.array([nx, ny, nz], jnp.float32)
-    pc = pos * m
     n = pc.shape[0]
     ncells = nx * ny * nz
 
     cell = cell_of(pc)
     lin = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+    present_in = jnp.ones((n, 1), jnp.float32)
+    if valid is not None:
+        # Invalid rows sort to the sentinel cell past every real cell.
+        lin = jnp.where(valid, lin, ncells)
+        present_in = jnp.where(valid[:, None], present_in, 0.0)
     idx = jnp.arange(n, dtype=jnp.int32)
     lin_s, perm = jax.lax.sort((lin, idx), num_keys=1, is_stable=True)
 
     payload = jnp.concatenate(
-        [pc, vel, jnp.ones((n, 1), jnp.float32), C.reshape(n, 9)], axis=1
+        [pc, vel, present_in, C.reshape(n, 9)], axis=1
     )
     payload_s = payload[perm]
 
@@ -418,11 +440,12 @@ def build_apic_table(cfg: SimConfig, pos, vel, C,
     rows = rows.at[:, :, 6].set(present)
     slots = rows.reshape(nx, ny, nz, K, F).transpose(0, 1, 3, 4, 2)
 
-    n_overflow = (n - jnp.minimum(counts, K).sum()).astype(jnp.int32)
+    n_valid = n if valid is None else valid.sum()
+    n_overflow = (n_valid - jnp.minimum(counts, K).sum()).astype(jnp.int32)
     cap = min(overflow_cap, n)
 
     def find_overflow(_):
-        over = rank_ge(lin_s, K)
+        over = rank_ge(lin_s, K) & (lin_s < ncells)
         (pos_s,) = jnp.nonzero(over, size=cap, fill_value=n)
         return jnp.where(pos_s < n, perm[jnp.minimum(pos_s, n - 1)],
                          n).astype(jnp.int32)
@@ -436,7 +459,7 @@ def build_apic_table(cfg: SimConfig, pos, vel, C,
 
 
 def _apic_overflow_scatter(cfg, table, pc, vel, C, comp_axis, shape,
-                           acc, amt):
+                           acc, amt, m_meters=None):
     """Exact 27-node spline scatter of overflow particles (bounded by cap)."""
     n = pc.shape[0]
     ov = table.overflow_idx
@@ -445,12 +468,11 @@ def _apic_overflow_scatter(cfg, table, pc, vel, C, comp_axis, shape,
     p = pc[safe]
     pv = vel[safe, comp_axis]
     crow = C[safe, comp_axis, :]
-    m = jnp.array([cfg.nx, cfg.ny, cfg.nz], jnp.float32)
 
     sx, sy, sz = shape
     lin_all, w_all, val_all = [], [], []
     # Reuse the 27-node generator in the overflow frame.
-    for idx, ok, w, dxm in _component_nodes(cfg, p, comp_axis):
+    for idx, ok, w, dxm in _component_nodes(cfg, p, comp_axis, m_meters):
         ok = ok & live
         val = pv
         for ax in range(3):
@@ -581,7 +603,8 @@ def extrapolate_rings(g, valid, rings: int = 2):
 
 
 def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
-                              aligned_slabs: bool = False):
+                              aligned_slabs: bool = False,
+                              pc=None, m_meters=None):
     """p2g_apic_from_table restructured as ONE sweep over the UNION window
     (the celltable.p2g_from_table_fused pattern): cell-indexed accumulators
     (component face c + e_k stored at cell c) turn all three components'
@@ -589,10 +612,18 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
     54 combos serve >= 1 component (those with >= two axes at +2 serve
     none) — 54 window reads instead of the unfused form's 108.  Boundary
     faces (index 0 on the staggered axis) are never accumulated, which is
-    fine: they are forced to 0/valid afterwards, identical semantics."""
+    fine: they are forced to 0/valid afterwards, identical semantics.
+
+    pc / m_meters: pass positions already in (possibly shifted local)
+    CELL units and the GLOBAL cells-per-meter for the affine-term unit
+    conversion — the sharded caller's extended-slab frame
+    (parallel/halo_apic.py).  Defaults reproduce the single-chip form
+    exactly (m_meters = cfg dims, pc = pos * dims)."""
     nx, ny, nz = cfg.nx, cfg.ny, cfg.nz
-    m = jnp.array([nx, ny, nz], jnp.float32)
-    pc = pos * m
+    m = (jnp.array([nx, ny, nz], jnp.float32) if m_meters is None
+         else jnp.asarray(m_meters, jnp.float32))
+    if pc is None:
+        pc = pos * jnp.array([nx, ny, nz], jnp.float32)
     slots = table.slots
     padded = jnp.pad(slots, ((2, 2), (2, 2), (0, 0), (0, 0), (2, 2)))
     # Hoist the four minor-axis (z) shifts out of the window loop as
@@ -671,10 +702,12 @@ def p2g_apic_from_table_fused(cfg: SimConfig, table: ApicTable, pos, vel, C,
                     accs[k] = accs[k] + (wgt * val).sum(2)
                     amts[k] = amts[k] + wgt.sum(2)
 
-    return _finalize_apic_faces(cfg, table, pc, vel, C, accs, amts)
+    return _finalize_apic_faces(cfg, table, pc, vel, C, accs, amts,
+                                m_meters=m_meters)
 
 
-def _finalize_apic_faces(cfg: SimConfig, table, pc, vel, C, accs, amts):
+def _finalize_apic_faces(cfg: SimConfig, table, pc, vel, C, accs, amts,
+                         m_meters=None):
     """Shared tail of the fused cell-indexed P2G forms: shift the
     cell-indexed accumulators onto face grids (face i stores the value
     accumulated at cell i-1 along the staggered axis), apply the exact
@@ -696,7 +729,7 @@ def _finalize_apic_faces(cfg: SimConfig, table, pc, vel, C, accs, amts):
             acc = acc.at[:, :, 1:].set(accs[2])
             amt = amt.at[:, :, 1:].set(amts[2])
         acc, amt = _apic_overflow_scatter(
-            cfg, table, pc, vel, C, k, shape, acc, amt
+            cfg, table, pc, vel, C, k, shape, acc, amt, m_meters=m_meters
         )
         g = acc / jnp.maximum(amt, jnp.float32(1e-30))
         valid = amt > APIC_WEIGHT_THRESH

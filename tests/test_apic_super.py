@@ -5,6 +5,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.ops import apic_super as asup
@@ -118,6 +119,7 @@ def test_apic_super_p2g_matches_cell_fused():
                 np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_step_apic_super_gate_matches_cell_path():
     """At ppc_axis=1 step_apic routes through the supercell table; it must
     agree with the per-cell fast path (gate forced off via ppc — compare

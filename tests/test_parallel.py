@@ -167,3 +167,56 @@ def test_halo_step_collective_budget(mesh):
         "all-to-all": 20,
         "reduce-scatter": 0,
     }, counts
+
+
+def test_halo_apic_step_matches_single(mesh):
+    """The engineered APIC halo step (2-cell x halos for the quadratic
+    windows, slab exchange carrying C, fused local-frame P2G) == the
+    single-device APIC fast step to fp-reassociation tolerance."""
+    from fluidsimulation_tpu.parallel.halo_apic import (
+        make_halo_apic_step,
+        shard_apic_state_x,
+    )
+    from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    want = init_apic_state(cfg)
+    for _ in range(2):
+        want = step_apic_jit(want, 0.01, cfg)
+
+    got = shard_apic_state_x(init_apic_state(cfg), mesh)
+    halo_step = make_halo_apic_step(cfg, mesh)
+    for _ in range(2):
+        got = halo_step(got, 0.01)
+
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.C), np.asarray(want.C),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(want.w),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.phi), np.asarray(want.phi),
+                               atol=1e-4)
+
+
+def test_halo_apic_drop_counter(mesh):
+    """with_diagnostics reports slab-capacity drops (0 at the default)."""
+    from fluidsimulation_tpu.parallel.halo_apic import (
+        make_halo_apic_step,
+        shard_apic_state_x,
+    )
+    from fluidsimulation_tpu.solver.apic import init_apic_state
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = shard_apic_state_x(init_apic_state(cfg), mesh)
+    out, dropped = make_halo_apic_step(cfg, mesh, with_diagnostics=True)(
+        state, 0.01
+    )
+    assert int(dropped) == 0
+    assert bool(np.isfinite(np.asarray(out.C)).all())
