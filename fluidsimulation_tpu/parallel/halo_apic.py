@@ -84,7 +84,16 @@ def make_halo_apic_step(cfg: SimConfig, mesh: Mesh,
     slabx = nx // n_dev
     N = cfg.num_particles
     assert N % n_dev == 0, "particle count must divide the mesh"
-    C_cap = capacity or min(N, ((4 * N // n_dev) + 127) // 128 * 128)
+    # Default capacity: FLIP's 4x-uniform-share heuristic scaled by the
+    # WINDOW WIDTH ratio — the APIC frame spans slabx+4 x-cells (2-cell
+    # quadratic halo) vs FLIP's slabx+2, so at small slabs the same
+    # particle density needs proportionally more slots (at 32^3/D=8 the
+    # dam-break block fills 57.6k of a 4x share's 54k; measured 3584
+    # silent drops before this scaling).
+    C_cap = capacity or min(
+        N,
+        (4 * N * (slabx + 4) // (n_dev * (slabx + 2)) + 127) // 128 * 128,
+    )
     K = ct.default_k(cfg)
     cfg_ext = dataclasses.replace(cfg, nx=slabx + 4)
     r = jnp.float32(cfg.particle_radius)

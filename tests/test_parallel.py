@@ -169,6 +169,30 @@ def test_halo_step_collective_budget(mesh):
     }, counts
 
 
+def test_halo_apic_collective_budget(mesh):
+    """Pin the APIC halo step's compiled-HLO collective counts at 32^3/D=8
+    — same skeleton as the FLIP halo step (84 permutes, 0 all-reduces),
+    12 all-gathers (slab exchange carries pos/vel/C; the mac9 G2P pack is
+    per-shard so it adds no gathers beyond the projected full grids)."""
+    from fluidsimulation_tpu.parallel.halo_apic import (
+        make_halo_apic_step,
+        shard_apic_state_x,
+    )
+    from fluidsimulation_tpu.parallel.hlo import compiled_collectives
+    from fluidsimulation_tpu.solver.apic import init_apic_state
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = shard_apic_state_x(init_apic_state(cfg), mesh)
+    counts = compiled_collectives(make_halo_apic_step(cfg, mesh), state, 0.01)
+    assert counts == {
+        "collective-permute": 84,
+        "all-gather": 12,
+        "all-reduce": 0,
+        "all-to-all": 20,
+        "reduce-scatter": 0,
+    }, counts
+
+
 def test_halo_apic_step_matches_single(mesh):
     """The engineered APIC halo step (2-cell x halos for the quadratic
     windows, slab exchange carrying C, fused local-frame P2G) == the
@@ -189,20 +213,23 @@ def test_halo_apic_step_matches_single(mesh):
     for _ in range(2):
         got = halo_step(got, 0.01)
 
+    # Measured after the capacity fix (scripts/diag_halo_apic.py): step 1
+    # is EXACT, step 2 within fp reassociation (pos 0, vel 6e-8, C 3.6e-6,
+    # grids 2.2e-7) — tolerances carry ~30x headroom over that.
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel),
-                               atol=1e-4)
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.C), np.asarray(want.C),
-                               atol=0.05)
+                               atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
-                               atol=1e-4)
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v),
-                               atol=1e-4)
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.w), np.asarray(want.w),
-                               atol=1e-4)
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.phi), np.asarray(want.phi),
-                               atol=1e-4)
+                               atol=1e-5)
 
 
 def test_halo_apic_drop_counter(mesh):
@@ -220,3 +247,11 @@ def test_halo_apic_drop_counter(mesh):
     )
     assert int(dropped) == 0
     assert bool(np.isfinite(np.asarray(out.C)).all())
+
+    # Forcing an undersized capacity must be REPORTED, not silent: the
+    # fullest extended frame holds 8 fluid cells x 30 x 30 x 8 ppc = 57600
+    # particles at this config (the 4x-uniform-share default without the
+    # slabx+4 window scaling was 54016 — the round-4 silent-drop bug).
+    _, dropped = make_halo_apic_step(cfg, mesh, capacity=50048,
+                                     with_diagnostics=True)(state, 0.01)
+    assert int(dropped) == 57600 - 50048
