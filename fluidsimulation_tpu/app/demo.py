@@ -171,12 +171,13 @@ def main(argv=None):
         "compiled program (persistent-cached).  3D flip transfer only",
     )
     ap.add_argument(
-        "--sphere-trace", action="store_true",
+        "--sphere-trace", action=argparse.BooleanOptionalAction, default=True,
         help="sphere-trace skip on the inside water march (deepened march "
         "texture, render/interior.py::deepen_phi): jumps |phi| cells per "
         "probe using the row already fetched — measured bit-identical on "
         "the demo scenes at the certified margin, ~10%% faster on "
-        "deep-water frames (docs/PERF.md round 4)",
+        "deep-water frames (docs/PERF.md round 4).  Default ON since "
+        "round 5; --no-sphere-trace restores the plain 1-cell march",
     )
     ap.add_argument(
         "--overstep", type=float, default=0.0,

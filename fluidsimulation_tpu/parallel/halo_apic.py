@@ -90,7 +90,9 @@ def make_halo_apic_step(cfg: SimConfig, mesh: Mesh,
     # particle density needs proportionally more slots (at 32^3/D=8 the
     # dam-break block fills 57.6k of a 4x share's 54k; measured 3584
     # silent drops before this scaling).
-    C_cap = capacity or min(
+    # `is not None` (not `or`): an explicit capacity=0 must be rejected by
+    # the shape machinery below, not silently replaced with the default.
+    C_cap = capacity if capacity is not None else min(
         N,
         (4 * N * (slabx + 4) // (n_dev * (slabx + 2)) + 127) // 128 * 128,
     )

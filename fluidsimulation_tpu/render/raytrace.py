@@ -1302,7 +1302,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
 def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  width: int, height: int,
                  band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
-                 interior_skip: bool = False, sphere_trace: bool = False,
+                 interior_skip: bool = False, sphere_trace: bool = True,
                  sphere_margin: float = SPHERE_MARGIN,
                  sphere_scale: float = SPHERE_SCALE,
                  sphere_spec: int = _SPEC, overstep: float = 0.0):
@@ -1311,11 +1311,18 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
     the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
     ops + the scan.  Measured win is modest but real: 319.9 vs 330.5 ms
     same-process on the bench scene (scripts/diag_render_bench_scene.py,
-    128^3 step-21 dam break) — the eager build's dispatches mostly overlap
-    device work, like the step's (docs/PERF.md "dispatch overhead").
-    Frame-loop callers (bench.py, app/demo.py) use this entry; ``render``
-    stays for callers that pre-build a texture once and render many frames
-    from it."""
+    scene chaos128 of docs/PERF.md's scene inventory) — the eager build's
+    dispatches mostly overlap device work, like the step's (docs/PERF.md
+    "dispatch overhead").  Frame-loop callers (bench.py, app/demo.py) use
+    this entry; ``render`` stays for callers that pre-build a texture once
+    and render many frames from it.
+
+    Unlike ``render``, ``sphere_trace`` defaults ON here (round 5, VERDICT
+    r4 item 1): it is measured bit-identical on every tested scene at the
+    certified margin (tests/test_render.py::test_sphere_trace_mode_matches_
+    exact; docs/PERF.md round 4) and never slower — a wash on thin-water
+    scenes, ~10% faster on deep-water ones.  ``sphere_trace=False`` keeps
+    the plain 1-cell inside march."""
     return render(phi, cam_pos, cam_right, cam_up, cam_fwd, width, height,
                   band_rows=band_rows, band_cols=band_cols, bounces=bounces,
                   interior_skip=interior_skip, sphere_trace=sphere_trace,

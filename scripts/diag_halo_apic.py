@@ -69,16 +69,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def where_grid(tag, a, b, tol=1e-6):
-    a, b = np.asarray(a), np.asarray(b)
-    d = np.abs(a - b)
-    bad = np.argwhere(d > tol)
-    if len(bad) == 0:
-        print(f"{tag}: clean")
-        return
-    xs = bad[:, 0]
-    print(f"{tag}: n={len(bad)} x-range [{xs.min()}, {xs.max()}] "
-          f"x-hist(bin4) {np.histogram(xs, bins=np.arange(0, a.shape[0] + 4, 4))[0].tolist()} "
-          f"maxd {d.max():.3e} at {bad[d[tuple(bad.T)].argmax()]}")

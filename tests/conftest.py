@@ -25,7 +25,5 @@ if os.environ.get("JAX_PLATFORMS", "cpu") != "":
         pass
 
 
-def pytest_configure(config):
-    config.addinivalue_line(
-        "markers", "slow: long-running (multi-minute) regression tests"
-    )
+# The `slow` marker is registered once, in pyproject.toml
+# [tool.pytest.ini_options] — no duplicate registration here.

@@ -174,12 +174,15 @@ def test_tiled_inside_march_skip_bit_identical(phi32):
 
     cam = OrbitCamera()
     co_c, right, up, fwd = cam.frame(64, 48)
+    # sphere_trace=False: interior_skip is mutually exclusive with the
+    # (default-on since round 5) sphere-trace skip.
     a = np.asarray(rt.render_frame(phi32, co_c, right, up, fwd,
                                    width=64, height=48, band_rows=24,
-                                   band_cols=32))
+                                   band_cols=32, sphere_trace=False))
     b = np.asarray(rt.render_frame(phi32, co_c, right, up, fwd,
                                    width=64, height=48, band_rows=24,
-                                   band_cols=32, interior_skip=True))
+                                   band_cols=32, interior_skip=True,
+                                   sphere_trace=False))
     np.testing.assert_array_equal(a, b)
 
 
