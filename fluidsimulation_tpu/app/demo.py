@@ -189,6 +189,16 @@ def main(argv=None):
         "0 (default) / 1.0 = the exact reference march",
     )
     ap.add_argument(
+        "--temporal", action=argparse.BooleanOptionalAction, default=True,
+        help="temporal frame coherence (round 5): seed each frame's water "
+        "marches from the previous frame's per-pixel hit t when the camera "
+        "is unchanged (raytrace.render t_seed).  The reference re-pays a "
+        "64-step cold march per pixel per frame (Render.fx:369); seeding "
+        "skips the already-traversed empty prefix with a measured "
+        "pixel-diff bound (docs/PERF.md round 5).  Cleared automatically "
+        "on camera moves and resets; --no-temporal = cold every frame",
+    )
+    ap.add_argument(
         "--serve", type=int, default=0, metavar="PORT",
         help="live interactive display: serve the latest frame as an "
         "MJPEG stream at http://127.0.0.1:PORT/ with browser mouse orbit/"
@@ -242,6 +252,10 @@ def main(argv=None):
         live = LiveView(args.serve)
         print(f"live view: http://127.0.0.1:{live.port}/")
 
+    # Temporal seed: previous frame's per-pixel march t + the camera/state
+    # signature it is valid for (cleared on camera move or sim reset).
+    seed = {"t": None, "sig": None}
+
     quit_now = False
     for i in range(args.steps):
         cmds = [c for c in [_poll_stdin()] if c]
@@ -259,6 +273,7 @@ def main(argv=None):
                 cam.reset()
             elif cmd == "r":
                 state = _init(cfg)
+                seed["t"] = None  # water jumps discontinuously
             elif cmd == "q":
                 quit_now = True
             elif cmd.startswith("o "):
@@ -297,11 +312,21 @@ def main(argv=None):
                 # tiles3.py): 100x100 at 128^3 (zero-padding tiling),
                 # 64x100 at 64^3.
                 br = 100 if max(s.phi.shape) >= 128 else 64
-                img = render_frame(s.phi, co, right, up, fwd,
+                temporal = args.temporal and args.bounces >= 1
+                sig = (cam.cam_phi, cam.cam_theta, cam.fov, cam.radius,
+                       w, h, args.bounces)
+                t_in = seed["t"] if (temporal and seed["sig"] == sig) else None
+                out = render_frame(s.phi, co, right, up, fwd,
                                    width=w, height=h, band_rows=br,
                                    bounces=args.bounces,
                                    sphere_trace=args.sphere_trace,
-                                   overstep=args.overstep)
+                                   overstep=args.overstep,
+                                   t_seed=t_in, return_t=temporal)
+                if temporal:
+                    img, seed["t"] = out
+                    seed["sig"] = sig
+                else:
+                    img = out
             out = np.asarray(img)
             if k > 1:
                 out = np.repeat(np.repeat(out, k, axis=0), k, axis=1)

@@ -46,24 +46,33 @@ def _batched_default() -> tuple[bool, int]:
     return False, 16
 
 
+_ZBLOCK = 128  # lane-dim block width when z-blocking (must be % 128)
+
+
 def super_p2g_fits(cfg: SimConfig, ks: int | None = None) -> bool:
     """Empirical Mosaic budget for the super-P2G kernel.  The 21 preshifted
     (tx+2, ty+2, Ks, nz) Element halo blocks plus the kernel's per-combo
     accumulator temps compile (and run, TPU-gated tests) at the flagship
-    Ks*nz = 8*128; at 256^3 (Ks*nz = 8*256, ~2x the live set) the remote
-    Mosaic compile helper crashes deterministically (subprocess exit 1,
-    scripts/diag_kernels_256.py).  Beyond the bound callers run the XLA
+    Ks*nz = 8*128; past that the remote Mosaic compile helper crashes
+    deterministically (subprocess exit 1, scripts/diag_kernels_256.py), so
+    the kernel Z-BLOCKS instead (round 5): the z windows arrive as three
+    pre-shifted aligned inputs, so 128-lane z blocks need no halo and the
+    live set stays at the flagship size at any nz % 128 == 0.  Grids that
+    neither fit unblocked nor divide into 128-lane z blocks run the XLA
     supercell form (supertable.p2g_from_super) instead."""
     from .supertable import super_k
 
     ks = super_k(cfg) if ks is None else ks
-    return ks * cfg.nz <= 8 * 128
+    if ks * cfg.nz <= 8 * 128:
+        return True
+    return ks <= 8 and cfg.nz % _ZBLOCK == 0
 
 
 def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                                 preshift: bool = True,
                                 batched: bool | None = None,
-                                combo_chunk: int | None = None):
+                                combo_chunk: int | None = None,
+                                zblock: int | None = None):
     """slots: (sx, sy, Ks, 8, sz) supercell table.  Returns (accs, amts):
     two lists of three (nx, ny, nz) cell-indexed accumulator grids.
 
@@ -102,7 +111,16 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     ~10 MB input blocks + ~9 MB stacked temps — marginal).  Chunks hold
     whole parities and each output slot still receives its 4 window
     terms in the same s order, so chunking only re-shapes reduce trees
-    (same ~1 ulp class as batching itself)."""
+    (same ~1 ulp class as batching itself).
+
+    zblock (round 5): lane-dim block width.  None auto-selects: full nz
+    when Ks*nz fits the flagship budget (the exact round-4 program), else
+    _ZBLOCK-lane z blocks over a third grid dimension — the pre-shifted z
+    windows make z blocks halo-free, so 256^3 compiles with the flagship
+    live set.  Per-z-block arithmetic is the same window sums over a lane
+    slice; results are bit-identical to the unblocked kernel (each output
+    lane's reduce tree is unchanged — reductions run over Ks/window dims,
+    never over z)."""
     env_batched, env_chunk = _batched_default()
     if batched is None:
         batched = env_batched
@@ -113,6 +131,13 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
     sx, sy = nx // 2, ny // 2
     Ks = slots.shape[2]
     assert sx % tx == 0 and sy % ty == 0
+    if zblock is None:
+        zblock = nz if Ks * nz <= 8 * 128 else _ZBLOCK
+    zB = min(zblock, nz)
+    assert nz % zB == 0, (nz, zB)
+    nzb = nz // zB
+    if nzb > 1:
+        assert preshift, "z-blocking relies on pre-shifted z windows"
 
     padded = [
         jnp.pad(slots[:, :, :, i, :], ((1, 1), (1, 1), (0, 0), (1, 1)))
@@ -137,6 +162,7 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
         outs = refs[n_in : n_in + 6]
         i = pl.program_id(0)
         j = pl.program_id(1)
+        zk = pl.program_id(2) if nzb > 1 else 0
         sx0 = jnp.asarray(i * tx, jnp.float32)
         sy0 = jnp.asarray(j * ty, jnp.float32)
 
@@ -158,25 +184,26 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
         gyh = (sy0 - 1.0) + jax.lax.broadcasted_iota(
             jnp.int32, (1, ty + 2, 1, 1), 1
         ).astype(jnp.float32)
-        fz = jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, 1, nz), 3
-        ).astype(jnp.float32)
+        fz = (jnp.asarray(zk * zB, jnp.float32)
+              + jax.lax.broadcasted_iota(
+                  jnp.int32, (1, 1, 1, zB), 3
+              ).astype(jnp.float32))
 
         if batched:
             assert combo_chunk in (4, 8, 16)
             NG = 16 // combo_chunk
             PG = combo_chunk // 4  # parities per chunk
-            ACC = [[jnp.zeros((PG, tx, ty, nz), jnp.float32)
+            ACC = [[jnp.zeros((PG, tx, ty, zB), jnp.float32)
                     for _ in range(NG)] for _ in range(3)]
-            AMT = [[jnp.zeros((PG, tx, ty, nz), jnp.float32)
+            AMT = [[jnp.zeros((PG, tx, ty, zB), jnp.float32)
                     for _ in range(NG)] for _ in range(3)]
         else:
             acc = [
-                [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+                [jnp.zeros((tx, ty, zB), jnp.float32) for _ in range(3)]
                 for _ in range(4)
             ]
             amt = [
-                [jnp.zeros((tx, ty, nz), jnp.float32) for _ in range(3)]
+                [jnp.zeros((tx, ty, zB), jnp.float32) for _ in range(3)]
                 for _ in range(4)
             ]
 
@@ -274,11 +301,11 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                     VVC = cstack(lambda xi, yi, A, B: velz[1][A, B])
 
                     wu = WNY * WSX * ZNC
-                    TU = (wu * VUC).sum(3).reshape(PG, 4, tx, ty, nz)
-                    AU = wu.sum(3).reshape(PG, 4, tx, ty, nz)
+                    TU = (wu * VUC).sum(3).reshape(PG, 4, tx, ty, zB)
+                    AU = wu.sum(3).reshape(PG, 4, tx, ty, zB)
                     wv = WNX * WSY * ZNC
-                    TV = (wv * VVC).sum(3).reshape(PG, 4, tx, ty, nz)
-                    AV = wv.sum(3).reshape(PG, 4, tx, ty, nz)
+                    TV = (wv * VVC).sum(3).reshape(PG, 4, tx, ty, zB)
+                    AV = wv.sum(3).reshape(PG, 4, tx, ty, zB)
                     for t in range(4):
                         ACC[0][g] = ACC[0][g] + TU[:, t]
                         AMT[0][g] = AMT[0][g] + AU[:, t]
@@ -288,8 +315,8 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                         ZSC = cstack(lambda xi, yi, A, B: zs_w[A, B])
                         VWC = cstack(lambda xi, yi, A, B: velz[2][A, B])
                         ww = WNY * WNX * ZSC
-                        TW = (ww * VWC).sum(3).reshape(PG, 4, tx, ty, nz)
-                        AW = ww.sum(3).reshape(PG, 4, tx, ty, nz)
+                        TW = (ww * VWC).sum(3).reshape(PG, 4, tx, ty, zB)
+                        AW = ww.sum(3).reshape(PG, 4, tx, ty, zB)
                         for t in range(4):
                             ACC[2][g] = ACC[2][g] + TW[:, t]
                             AMT[2][g] = AMT[2][g] + AW[:, t]
@@ -381,18 +408,37 @@ def p2g_accumulate_pallas_super(cfg: SimConfig, slots, tx: int = 1, ty: int = 8,
                     outs[2 * a][p] = acc[p][a]
                     outs[2 * a + 1][p] = amt[p][a]
 
-    zdim = nz if preshift else nz + 2
-    in_spec = pl.BlockSpec(
-        (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(Ks), pl.Element(zdim)),
-        lambda i, j: (i * tx, j * ty, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_spec = pl.BlockSpec(
-        (4, tx, ty, nz), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
-    )
+    if nzb > 1:
+        # 3-D grid: z blocks are halo-free (the shifted windows are
+        # separate aligned inputs), so the lane dim blocks at zB (% 128)
+        # with plain aligned starts — live set stays at the flagship size.
+        in_spec = pl.BlockSpec(
+            (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(Ks),
+             pl.Element(zB)),
+            lambda i, j, z: (i * tx, j * ty, 0, z * zB),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (4, tx, ty, zB), lambda i, j, z: (0, i, j, z),
+            memory_space=pltpu.VMEM,
+        )
+        grid = (sx // tx, sy // ty, nzb)
+    else:
+        zdim = nz if preshift else nz + 2
+        in_spec = pl.BlockSpec(
+            (pl.Element(tx + 2), pl.Element(ty + 2), pl.Element(Ks),
+             pl.Element(zdim)),
+            lambda i, j: (i * tx, j * ty, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (4, tx, ty, nz), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid = (sx // tx, sy // ty)
     outs = pl.pallas_call(
         kernel,
-        grid=(sx // tx, sy // ty),
+        grid=grid,
         out_shape=tuple(
             jax.ShapeDtypeStruct((4, sx, sy, nz), jnp.float32)
             for _ in range(6)

@@ -625,7 +625,8 @@ SPHERE_SCALE = 1.0
 
 
 def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
-                    probe2=None, margin=None, sphere=None, overstep=None):
+                    probe2=None, margin=None, sphere=None, overstep=None,
+                    t_seed=None, seed_back=None):
     """Render.fx:358-424.  Returns (p_shifted, t), or with ``stats=True``
     (a trace-time flag for the md-transaction floor analysis in
     docs/PERF.md; default path is unchanged) (p_shifted, t, rows) where
@@ -681,10 +682,28 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
     result exactly (the certification chain degenerates to the plain
     march; only the iteration count can differ), which is how equality is
     asserted in tests/test_render.py.
+
+    ``t_seed``/``seed_back``: temporal frame coherence (round 5, VERDICT
+    r4 item 3).  ``t_seed`` is the per-lane ``t`` this function returned
+    LAST frame (static camera: identical ray parameterization), and
+    ``seed_back`` a conservative world-space backoff.  Both marches then
+    start at ``max(t_seed - seed_back, 0)`` instead of 0 — the empty-space
+    prefix the previous frame already traversed is skipped.  Hits remain
+    locally refined (outside: the sphere trace re-converges; inside: the
+    48-step backward sphere trace recovers even a receded surface), so
+    the error is bounded by surface motion past ``seed_back`` within one
+    frame *introducing new media into the skipped prefix* — measured as
+    a pixel-diff bound in docs/PERF.md round 5.  ``t_seed=None`` (or
+    ``seed_back`` >= the previous t) reproduces the cold march exactly;
+    boxed/missed lanes re-exit in O(1) probes from their seeded start.
     """
     p0 = co + 0.5
     initial = md(p0)
     outside = (initial > 0.0) | (p0[..., 1] > 0.9999)
+    if t_seed is not None:
+        t0_seed = jnp.maximum(t_seed - seed_back, 0.0)
+    else:
+        t0_seed = None
     # Lanes whose box test missed (max_t == LARGE) are glass-miss pixels /
     # dead bounce children whose color is discarded upstream — mark them
     # converged immediately so they never stall the whole-batch early exits
@@ -718,10 +737,13 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
 
         # Lanes that are "inside" never update their done flag
         # meaningfully; mark them done so they don't keep the loop alive.
+        t_out0 = (jnp.zeros_like(max_t) if t0_seed is None
+                  else jnp.where(outside, t0_seed, 0.0))
         i_out, _, t_o, _ = jax.lax.while_loop(
             out_cond,
             out_body,
-            (jnp.int32(0), p0, jnp.zeros_like(max_t), ~outside | junk),
+            (jnp.int32(0), p0 + t_out0[..., None] * ci, t_out0,
+             ~outside | junk),
         )
     else:
         omega = jnp.float32(overstep)
@@ -757,12 +779,14 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
                 done = done2
             return i + _UNROLL, t, dlast, ostep, done
 
+        t_out0 = (jnp.zeros_like(max_t) if t0_seed is None
+                  else jnp.where(outside, t0_seed, 0.0))
         i_out, t_o, _, _, _ = jax.lax.while_loop(
             out_cond,
             out_body,
             (
                 jnp.int32(0),
-                jnp.zeros_like(max_t),
+                t_out0,
                 jnp.zeros_like(max_t),
                 jnp.zeros(max_t.shape, bool),
                 ~outside | junk,
@@ -873,10 +897,27 @@ def intersect_water(md, inv_m0, co, ci, max_t, dead=None, stats=False,
                 boxed = boxed | box_now
             return i + spec, p, t, i_exit, exited, boxed, d8, nb + 1
 
+        if t0_seed is None:
+            k_init = jnp.zeros(max_t.shape, jnp.int32)
+        else:
+            # Seeded start: lattice-aligned (t stays an exact multiple of
+            # step on power-of-two grids, like the skip jumps above).
+            # Clamped below the box exit so boxed lanes re-box on their
+            # first probe; the (128 - k_init) remaining budget and the
+            # reused (48 - i_exit) backward counter then behave exactly
+            # as if the march had walked to the seed.
+            k_box = jnp.maximum(
+                jnp.floor(max_t / step).astype(jnp.int32) - 1, 0
+            )
+            k_init = jnp.clip(
+                jnp.floor(t0_seed / step).astype(jnp.int32), 0, 126
+            )
+            k_init = jnp.minimum(k_init, k_box)
+        t_in0 = k_init.astype(jnp.float32) * step
         init = (
-            jnp.zeros(max_t.shape, jnp.int32),
-            p0,
-            jnp.zeros_like(max_t),
+            k_init,
+            p0 + t_in0[..., None] * ci,
+            t_in0,
             jnp.full(max_t.shape, 128, jnp.int32),
             outside | junk,  # outside/junk lanes are inert here
             jnp.zeros(max_t.shape, bool),
@@ -958,7 +999,8 @@ def trace_water0(co, ci):
 
 
 def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
-                   probe2=None, margin=None, sphere=None, overstep=None):
+                   probe2=None, margin=None, sphere=None, overstep=None,
+                   t_seed=None, seed_back=None, return_t=False):
     """One water-bounce level (the shared body of traceWater1/traceWater2,
     Render.fx:451-515), expressed as ray splitting: returns the hit point
     and two weighted child rays.  A miss forwards the ray unchanged with
@@ -976,11 +1018,13 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
     if stats:
         p_hit, t_hit, md_rows = intersect_water(
             md, inv_m0, co, ci, max_t, dead=dead, stats=True, probe2=probe2,
-            margin=margin, sphere=sphere, overstep=overstep)
+            margin=margin, sphere=sphere, overstep=overstep,
+            t_seed=t_seed, seed_back=seed_back)
     else:
         p_hit, t_hit = intersect_water(md, inv_m0, co, ci, max_t, dead=dead,
                                        probe2=probe2, margin=margin,
-                                       sphere=sphere, overstep=overstep)
+                                       sphere=sphere, overstep=overstep,
+                                       t_seed=t_seed, seed_back=seed_back)
     ipoint = p_hit - 0.5
     # A ray whose box test missed (max_t == LARGE) is a glass-miss pixel or
     # an epsilon-escaped bounce child: forward it as a miss (the reference's
@@ -1012,16 +1056,23 @@ def _expand_bounce(md, inv_m0, co, ci, w=None, g9=None, stats=False,
     w_a = jnp.where(missed, 1.0, fres)
     d_b = jnp.where(missed[..., None], ci, trans)
     w_b = jnp.where(missed, 0.0, 1.0 - fres)
+    extra = ()
+    if return_t:
+        # Next frame's seed: the raw march t (hit t; max_t for boxed
+        # lanes; >= max_t for misses — every case re-converges in O(1)
+        # probes when used as a seeded start).
+        extra = (t_hit,)
     if stats:
         g9_rows = jnp.int32(max_t.size if g9 is not None else 0)
         grad_md_rows = jnp.int32(0 if g9 is not None else 4 * max_t.size)
         md_rows = md_rows.at[0].add(grad_md_rows)
-        return ipoint, d_a, w_a, d_b, w_b, (md_rows, g9_rows)
-    return ipoint, d_a, w_a, d_b, w_b
+        return (ipoint, d_a, w_a, d_b, w_b, (md_rows, g9_rows)) + extra
+    return (ipoint, d_a, w_a, d_b, w_b) + extra
 
 
 def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
-                 margin=None, sphere=None, overstep=None):
+                 margin=None, sphere=None, overstep=None,
+                 t_seed=None, seed_back=None, return_t=False):
     """2-bounce water tracing (traceWater2 -> traceWater1 -> traceWater0,
     Render.fx:442-515), restructured as *batched* levels: each bounce level
     concatenates its child rays and traces them in one call (4 leaf rays per
@@ -1034,10 +1085,14 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     shifting the ray origin by the 0.001 epsilon step once more."""
     shape = co.shape
 
+    # Temporal seeding applies to the PRIMARY level only (bounce children
+    # have no stable cross-frame parameterization).
     r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats,
                         probe2=probe2, margin=margin, sphere=sphere,
-                        overstep=overstep)
+                        overstep=overstep, t_seed=t_seed,
+                        seed_back=seed_back, return_t=return_t)
     ip1, d_a, w_a, d_b, w_b = r1[:5]
+    t_prim = r1[-1] if return_t else None
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
@@ -1054,29 +1109,37 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     cols = cols.reshape(4, *shape)
     w3 = w3.reshape(4, *shape[:-1])
     out = (cols * w3[..., None]).sum(axis=0)
+    res = (out,)
     if stats:
-        return out, (r1[5][0] + r2[5][0], r1[5][1] + r2[5][1])
-    return out
+        res = (out, (r1[5][0] + r2[5][0], r1[5][1] + r2[5][1]))
+    if return_t:
+        res = res + (t_prim,)
+    return res if len(res) > 1 else out
 
 
 def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None,
-                 overstep=None):
+                 overstep=None, t_seed=None, seed_back=None,
+                 return_t=False):
     """1-bounce variant (traceWater1), kept for API parity."""
     shape = co.shape
-    ip1, d_a, w_a, d_b, w_b = _expand_bounce(md, inv_m0, co, ci, g9=g9,
-                                             probe2=probe2, sphere=sphere,
-                                             overstep=overstep)
+    r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9,
+                        probe2=probe2, sphere=sphere,
+                        overstep=overstep, t_seed=t_seed,
+                        seed_back=seed_back, return_t=return_t)
+    ip1, d_a, w_a, d_b, w_b = r1[:5]
     co2 = jnp.concatenate([ip1, ip1], axis=0)
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
     cols = trace_water0(co2, d2).reshape(2, *shape)
-    return (cols * w2.reshape(2, *shape[:-1])[..., None]).sum(axis=0)
+    out = (cols * w2.reshape(2, *shape[:-1])[..., None]).sum(axis=0)
+    return (out, r1[-1]) if return_t else out
 
 
 # -- top-level pixel shader --------------------------------------------------
 
 def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
-          skip_margin=None, sphere=None, overstep=None):
+          skip_margin=None, sphere=None, overstep=None,
+          t_seed=None, seed_back=None, return_t=False):
     """PS main (Render.fx:518-578) for ray batches.
 
     `phi` may be the raw level set or a pre-built PackedPhi (pack once per
@@ -1112,44 +1175,61 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
     h, prim_co, prim_ci, _, _ = trace_glass(co, ci)
     hit = h < LARGE
     st = None
+    t_prim = None
     if bounces >= 2:
-        col_water = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9,
-                                 stats=stats, probe2=probe2,
-                                 margin=skip_margin, sphere=sphere,
-                                 overstep=overstep)
-        if stats:
-            col_water, st = col_water
+        r = trace_water2(md, inv_m0, prim_co, prim_ci, g9=g9,
+                         stats=stats, probe2=probe2,
+                         margin=skip_margin, sphere=sphere,
+                         overstep=overstep, t_seed=t_seed,
+                         seed_back=seed_back, return_t=return_t)
+        if stats or return_t:
+            col_water = r[0]
+            if stats:
+                st = r[1]
+            if return_t:
+                t_prim = r[-1]
+        else:
+            col_water = r
     elif bounces == 1:
-        col_water = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9,
-                                 probe2=probe2, sphere=sphere,
-                                 overstep=overstep)
+        r = trace_water1(md, inv_m0, prim_co, prim_ci, g9=g9,
+                         probe2=probe2, sphere=sphere,
+                         overstep=overstep, t_seed=t_seed,
+                         seed_back=seed_back, return_t=return_t)
+        col_water, t_prim = r if return_t else (r, None)
     else:
+        assert not return_t, "bounces=0 has no water march to seed"
         col_water = trace_water0(prim_co, prim_ci)
     col_sky = sample_environment(ci)
     col = jnp.where(hit[..., None], col_water, col_sky)
     out = jnp.abs(col) ** 2.2
-    if stats:
-        # (image, (md_rows, g9_rows)) -- diag-only shape; image identical.
-        img = jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
-        return img, (st if st is not None
-                     else (jnp.zeros(4, jnp.int32), jnp.int32(0)))
     # The reference feeds unset primary rays (largeNum sentinels) through the
     # water tracer when every glass bounce is TIR (Render.fx:341-344 never
     # fires) and displays the resulting f32 garbage on those rare pixels.  A
     # tensor API shouldn't return inf/nan, so bound them instead.
-    return jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
+    img = jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
+    res = (img,)
+    if stats:
+        # (image, (md_rows, g9_rows)) -- diag-only shape; image identical.
+        res = res + ((st if st is not None
+                      else (jnp.zeros(4, jnp.int32), jnp.int32(0))),)
+    if return_t:
+        # Glass-miss lanes carry LARGE so a later frame never seeds a
+        # transiently-junk lane with stale garbage.
+        res = res + (jnp.where(hit, t_prim, LARGE),)
+    return res if len(res) > 1 else img
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "bounces",
-                     "sphere_spec"),
+                     "sphere_spec", "return_t"),
 )
 def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int, y0, x0,
                  g9=None, bounces: int = 2, texs=None,
                  sphere_margin=None, sphere_scale=None,
-                 sphere_spec: int | None = None, overstep=None):
+                 sphere_spec: int | None = None, overstep=None,
+                 t_seed=None, seed_back=None, return_t: bool = False):
     """Render the (tile_h, tile_w) tile at rows [y0, ...), cols [x0, ...)."""
     px = (x0 + jnp.arange(tile_w, dtype=jnp.float32) + 0.5) / width
     py = (y0 + jnp.arange(tile_h, dtype=jnp.float32) + 0.5) / height
@@ -1163,19 +1243,21 @@ def _render_tile(tex, cam_pos, cam_right, cam_up, cam_fwd,
         else (sphere_margin, sphere_scale, sphere_spec)
     )
     return shade(tex, co, ci, g9=g9, bounces=bounces, texs=texs,
-                 sphere=sphere, overstep=overstep)
+                 sphere=sphere, overstep=overstep,
+                 t_seed=t_seed, seed_back=seed_back, return_t=return_t)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "bounces",
-                     "sphere_spec"),
+                     "sphere_spec", "return_t"),
 )
 def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
                  width: int, height: int, tile_h: int, tile_w: int,
                  g9=None, bounces: int = 2, texs=None,
                  sphere_margin=None, sphere_scale=None,
-                 sphere_spec: int | None = None, overstep=None):
+                 sphere_spec: int | None = None, overstep=None,
+                 t_seed=None, seed_back=None, return_t: bool = False):
     """All tiles under ONE compiled program (lax.scan over tile origins):
     keeps the per-tile whole-batch early exits while paying dispatch
     overhead once (measured ~3 ms per dispatch through the axon tunnel —
@@ -1184,20 +1266,47 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
     ntx = -(-width // tile_w)
     ys = jnp.repeat(jnp.arange(nty, dtype=jnp.float32) * tile_h, ntx)
     xs = jnp.tile(jnp.arange(ntx, dtype=jnp.float32) * tile_w, nty)
+    if t_seed is not None:
+        # Pad the seed plane to the tiled extent; padded lanes cold-start
+        # (LARGE never seeds: shade stored LARGE for junk lanes, and
+        # max(LARGE - back, 0) >= max_t re-exits in one probe anyway —
+        # pad with LARGE for uniformity).
+        t_seed = jnp.pad(
+            t_seed,
+            ((0, nty * tile_h - height), (0, ntx * tile_w - width)),
+            constant_values=LARGE,
+        )
 
     def body(_, yx):
-        img = _render_tile(
+        seed_tile = None
+        if t_seed is not None:
+            seed_tile = jax.lax.dynamic_slice(
+                t_seed,
+                (yx[0].astype(jnp.int32), yx[1].astype(jnp.int32)),
+                (tile_h, tile_w),
+            )
+        out = _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, tile_h, tile_w, yx[0], yx[1], g9=g9,
             bounces=bounces, texs=texs,
             sphere_margin=sphere_margin, sphere_scale=sphere_scale,
             sphere_spec=sphere_spec, overstep=overstep,
+            t_seed=seed_tile, seed_back=seed_back, return_t=return_t,
         )
-        return 0, img
+        return 0, out
 
     _, tiles = jax.lax.scan(body, 0, jnp.stack([ys, xs], axis=1))
+    if return_t:
+        tiles, t_tiles = tiles
+        t_plane = t_tiles.reshape(nty, ntx, tile_h, tile_w).transpose(
+            0, 2, 1, 3
+        ).reshape(nty * tile_h, ntx * tile_w)[:height, :width]
     img = tiles.reshape(nty, ntx, tile_h, tile_w, 3).transpose(0, 2, 1, 3, 4)
-    return img.reshape(nty * tile_h, ntx * tile_w, 3)[:height, :width]
+    img = img.reshape(nty * tile_h, ntx * tile_w, 3)[:height, :width]
+    return (img, t_plane) if return_t else img
+
+
+SEED_BACK = 6.0  # cells; see render() docstring
 
 
 def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
@@ -1205,7 +1314,9 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
            interior_skip: bool = False, sphere_trace: bool = False,
            sphere_margin: float = SPHERE_MARGIN,
            sphere_scale: float = SPHERE_SCALE, sphere_spec: int = _SPEC,
-           overstep: float = 0.0):
+           overstep: float = 0.0,
+           t_seed=None, seed_back: float = SEED_BACK,
+           return_t: bool = False):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
@@ -1239,6 +1350,18 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     OUTSIDE march (the dominant md()-row cost on every measured scene) —
     see intersect_water.  Approximate with a measured pixel-diff bound
     (docs/PERF.md round 4); 0.0/1.0 keep the exact reference march.
+
+    ``t_seed``/``seed_back``/``return_t``: temporal frame coherence
+    (round 5; the reference re-pays a 64-step cold march per pixel every
+    frame, Render.fx:369).  ``return_t=True`` additionally returns the
+    (height, width) per-pixel primary march t; pass it back as ``t_seed``
+    on the next frame — IF the camera did not move — and both water
+    marches start ``seed_back`` CELLS before the previous hit instead of
+    at the glass.  Hits are re-refined locally (see intersect_water), so
+    the divergence is bounded by surface motion > seed_back cells/frame
+    entering the skipped prefix; measured pixel-diff bound in docs/PERF.md
+    round 5.  seed_back >= grid diameter reproduces the cold march
+    bit-for-bit (the equality test).  bounces=2/1 only.
     """
     if isinstance(phi, (PackedPhi, PackedPhi8)):
         if sphere_trace:
@@ -1275,12 +1398,19 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     sc = jnp.float32(sphere_scale) if sphere_trace else None
     sp = sphere_spec if sphere_trace else None
     ov = jnp.float32(overstep) if overstep and overstep > 1.0 else None
+    if t_seed is not None:
+        t_seed = jnp.asarray(t_seed, jnp.float32)
+        assert t_seed.shape == (height, width), t_seed.shape
+    # seed_back cells -> world units (box [-0.5,0.5]^3, cell = 1/dims[0]).
+    sb = (jnp.float32(seed_back / tex.dims[0])
+          if (t_seed is not None or return_t) else None)
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
             width, height, height, width, jnp.float32(0), jnp.float32(0),
             g9=g9, bounces=bounces, texs=texs,
             sphere_margin=sm, sphere_scale=sc, sphere_spec=sp, overstep=ov,
+            t_seed=t_seed, seed_back=sb, return_t=return_t,
         )
     tile_h = band_rows if 0 < band_rows <= height else height
     tile_w = band_cols if 0 < band_cols <= width else (
@@ -1290,6 +1420,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
         tex, cam_pos, cam_right, cam_up, cam_fwd,
         width, height, tile_h, tile_w, g9=g9, bounces=bounces, texs=texs,
         sphere_margin=sm, sphere_scale=sc, sphere_spec=sp, overstep=ov,
+        t_seed=t_seed, seed_back=sb, return_t=return_t,
     )
 
 
@@ -1297,7 +1428,8 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     jax.jit,
     static_argnames=("width", "height", "band_rows", "band_cols", "bounces",
                      "interior_skip", "sphere_trace", "sphere_margin",
-                     "sphere_scale", "sphere_spec", "overstep"),
+                     "sphere_scale", "sphere_spec", "overstep", "seed_back",
+                     "return_t"),
 )
 def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  width: int, height: int,
@@ -1305,7 +1437,9 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  interior_skip: bool = False, sphere_trace: bool = True,
                  sphere_margin: float = SPHERE_MARGIN,
                  sphere_scale: float = SPHERE_SCALE,
-                 sphere_spec: int = _SPEC, overstep: float = 0.0):
+                 sphere_spec: int = _SPEC, overstep: float = 0.0,
+                 t_seed=None, seed_back: float = SEED_BACK,
+                 return_t: bool = False):
     """One fully-jitted frame from the RAW level set: the texture builds
     (PackedPhi + the Phi9 gradient rows) compile into the same program as
     the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
@@ -1327,4 +1461,5 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                   band_rows=band_rows, band_cols=band_cols, bounces=bounces,
                   interior_skip=interior_skip, sphere_trace=sphere_trace,
                   sphere_margin=sphere_margin, sphere_scale=sphere_scale,
-                  sphere_spec=sphere_spec, overstep=overstep)
+                  sphere_spec=sphere_spec, overstep=overstep,
+                  t_seed=t_seed, seed_back=seed_back, return_t=return_t)

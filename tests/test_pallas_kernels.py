@@ -76,4 +76,11 @@ def test_super_p2g_vmem_gate():
     mk = lambda n: SimConfig(nx=n, ny=n, nz=n, cells_per_meter=float(n),
                              particles_per_cell_axis=1)
     assert super_p2g_fits(mk(128))   # flagship: compiles + TPU-tested
-    assert not super_p2g_fits(mk(256))  # crashes the Mosaic compile helper
+    # 256^3 fits since round 5 via halo-free 128-lane z-blocking (the
+    # unblocked form crashed the Mosaic compile helper).
+    assert super_p2g_fits(mk(256))
+    # Non-128-multiple z past the flagship budget still falls back to XLA.
+    assert not super_p2g_fits(
+        SimConfig(nx=256, ny=256, nz=320, cells_per_meter=256.0,
+                  particles_per_cell_axis=1)
+    )

@@ -48,6 +48,22 @@ def test_pallas_super_p2g_matches_direct_interpret():
     _check(got, direct.transfer_to_grid(CFG, pos, vel))
 
 
+def test_pallas_super_p2g_zblocked_bitexact_interpret():
+    """Round-5 z-blocking (the 256^3 enabler): per-z-block accumulation is
+    the identical window arithmetic over a lane slice — reductions never
+    run over z, so the blocked kernel must match the unblocked one
+    BIT-FOR-BIT (here zB = nz/2 stands in for the 128-lane blocks real
+    grids use)."""
+    pos, vel = _seeded(seed=11)
+    table = st.build_super_table(CFG, pos, vel)
+    base = pps.p2g_accumulate_pallas_super(CFG, table.slots)
+    blk = pps.p2g_accumulate_pallas_super(CFG, table.slots,
+                                          zblock=CFG.nz // 2)
+    for grp_a, grp_b in zip(base, blk):
+        for a, b in zip(grp_a, grp_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_super_p2g_overflow_interpret():
     Ks = st.super_k(CFG)
     pos, vel = _seeded(seed=9, cram=3 * Ks)

@@ -212,6 +212,60 @@ def test_overstep_omega1_matches_exact():
     assert d.mean() < 5e-3
 
 
+def test_temporal_seed():
+    """Temporal frame coherence (round 5, VERDICT r4 item 3): seeding the
+    marches with the previous frame's per-pixel t.  Contract: (a) a
+    seed_back >= the grid diameter reproduces the cold march BIT-FOR-BIT
+    (the seeded start degenerates to t=0); (b) re-rendering the SAME scene
+    with the default backoff stays within a tight pixel bound; (c) across
+    real sim steps the divergence stays small and bounded (the recorded
+    bound lives in docs/PERF.md round 5)."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(4):
+        state = step_jit(state, 0.01, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+
+    cold, t0 = rt.render(state.phi, co, right, up, fwd, 80, 60,
+                         band_rows=30, band_cols=40, return_t=True)
+    cold, t0 = np.asarray(cold), np.asarray(t0)
+    assert t0.shape == (60, 80) and np.isfinite(t0).all()
+
+    # (a) huge backoff == cold, bit-for-bit.
+    huge = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, t_seed=t0, seed_back=1000.0)
+    )
+    np.testing.assert_array_equal(cold, huge)
+
+    # (b) static scene, default backoff: tiny divergence.
+    warm = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, t_seed=t0)
+    )
+    d = np.abs(warm - cold)
+    assert (d.max(-1) > 1 / 255).mean() < 0.01
+
+    # (c) two sim steps later, seeded from the old frame: bounded.
+    for _ in range(2):
+        state = step_jit(state, 0.01, cfg)
+    cold2 = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40)
+    )
+    warm2 = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, t_seed=t0)
+    )
+    d2 = np.abs(warm2 - cold2)
+    assert np.isfinite(warm2).all()
+    assert (d2.max(-1) > 1 / 255).mean() < 0.05
+    # Whole-frame (untiled) path carries the same plumbing.
+    img, t = rt.render(state.phi, co, right, up, fwd, 80, 60,
+                       t_seed=None, return_t=True)
+    assert np.asarray(t).shape == (60, 80)
+
+
 def test_escaped_bounce_child_is_miss():
     """Children whose epsilon step escapes the box (max_t <= 0) forward as
     misses (the reference short-circuits misses to traceWater0); marching
