@@ -304,7 +304,7 @@ def main(argv=None):
             w, h = -(-args.width // k), -(-args.height // k)
             co, right, up, fwd = cam.frame(w, h)
             if args.renderer == "wavefront":
-                from ..render.wavefront import render_wavefront
+                from ..experiments.wavefront import render_wavefront
 
                 img = render_wavefront(s.phi, co, right, up, fwd, w, h)
             else:

@@ -69,7 +69,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import raytrace as rt
+from ..render import raytrace as rt
 
 # Lane phases.  JUNKED lanes (rays whose result is discarded upstream)
 # finish on their first step with the dense-default (t = t_p = 0) — they
@@ -408,7 +408,7 @@ def intersect_water_wf(md, inv_m0, co, ci, max_t, dead=None,
     # (except the last), plus the initial and final evacuation rows.
     r_trace = 8 * (-(-n // P)) + 4
 
-    from . import interior as intr
+    from ..render import interior as intr
 
     if isinstance(md, intr.PackedPhiSkip):
         probe = ("tex", md.rows, md.dims, md.ns, True)
@@ -503,7 +503,7 @@ def shade_wf(phi, co, ci, pool=_DEF_POOL, spr=_DEF_SPR, reuse=_DEF_REUSE,
 
     A PackedPhiSkip texture (render/interior.py) additionally enables the
     inside-march interior skip, bit-identical on power-of-two grids."""
-    from . import interior as intr
+    from ..render import interior as intr
 
     if isinstance(phi, intr.PackedPhiSkip):
         tex = phi
@@ -539,7 +539,7 @@ def _render_wf(tex, cam_pos, cam_right, cam_up, cam_fwd,
                build: str = "none", reuse: int = _DEF_REUSE):
     g9 = None
     if build != "none":  # tex is the raw phi; pack it inside the program
-        from . import interior as intr
+        from ..render import interior as intr
 
         if rt.gradient_fits_phi9(tex.shape):
             g9 = rt.PackedPhi9(tex)
@@ -564,7 +564,7 @@ def render_wavefront(phi, cam_pos, cam_right, cam_up, cam_fwd,
     ``skip=True`` builds the PackedPhiSkip texture when the grid is
     power-of-two, enabling the provably-exact inside-march interior skip
     (render/interior.py).  ``reuse`` = eval sub-steps per gathered row."""
-    from . import interior as intr
+    from ..render import interior as intr
 
     if isinstance(phi, (rt.PackedPhi, intr.PackedPhiSkip)):
         return _render_wf(phi, cam_pos, cam_right, cam_up, cam_fwd,

@@ -1085,11 +1085,16 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     shifting the ray origin by the 0.001 epsilon step once more."""
     shape = co.shape
 
-    # Temporal seeding applies to the PRIMARY level only (bounce children
-    # have no stable cross-frame parameterization).
+    # Temporal seeding covers BOTH march levels (round 5): t_seed is a
+    # (3, *batch) stack — [0] the primary march t, [1:3] the two level-2
+    # bounce children's ts.  For a static camera the children's rays drift
+    # only with the water surface, the same bounded motion the backoff
+    # absorbs on the primary (level-2 divergence compounds the primary
+    # drift; covered by the same measured pixel bound).
+    t1 = t_seed[0] if t_seed is not None else None
     r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9, stats=stats,
                         probe2=probe2, margin=margin, sphere=sphere,
-                        overstep=overstep, t_seed=t_seed,
+                        overstep=overstep, t_seed=t1,
                         seed_back=seed_back, return_t=return_t)
     ip1, d_a, w_a, d_b, w_b = r1[:5]
     t_prim = r1[-1] if return_t else None
@@ -1097,10 +1102,18 @@ def trace_water2(md, inv_m0, co, ci, g9=None, stats=False, probe2=None,
     d2 = jnp.concatenate([d_a, d_b], axis=0)
     w2 = jnp.concatenate([w_a, w_b], axis=0)
 
+    # Children batch is the level-1 batch concatenated along axis 0, so
+    # the two seed planes concatenate the same way.
+    t2 = (jnp.concatenate([t_seed[1], t_seed[2]], axis=0)
+          if t_seed is not None else None)
     r2 = _expand_bounce(md, inv_m0, co2, d2, w=w2, g9=g9, stats=stats,
                         probe2=probe2, margin=margin, sphere=sphere,
-                        overstep=overstep)
+                        overstep=overstep, t_seed=t2,
+                        seed_back=seed_back, return_t=return_t)
     ip2, d_c, w_c, d_d, w_d = r2[:5]
+    if return_t:
+        t_child = r2[-1].reshape(2, *shape[:-1])
+        t_prim = jnp.concatenate([t_prim[None], t_child], axis=0)
     co3 = jnp.concatenate([ip2, ip2], axis=0)
     d3 = jnp.concatenate([d_c, d_d], axis=0)
     w3 = jnp.concatenate([w2 * w_c, w2 * w_d], axis=0)
@@ -1122,9 +1135,10 @@ def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None,
                  return_t=False):
     """1-bounce variant (traceWater1), kept for API parity."""
     shape = co.shape
+    t1 = t_seed[0] if t_seed is not None else None
     r1 = _expand_bounce(md, inv_m0, co, ci, g9=g9,
                         probe2=probe2, sphere=sphere,
-                        overstep=overstep, t_seed=t_seed,
+                        overstep=overstep, t_seed=t1,
                         seed_back=seed_back, return_t=return_t)
     ip1, d_a, w_a, d_b, w_b = r1[:5]
     co2 = jnp.concatenate([ip1, ip1], axis=0)
@@ -1132,7 +1146,15 @@ def trace_water1(md, inv_m0, co, ci, g9=None, probe2=None, sphere=None,
     w2 = jnp.concatenate([w_a, w_b], axis=0)
     cols = trace_water0(co2, d2).reshape(2, *shape)
     out = (cols * w2.reshape(2, *shape[:-1])[..., None]).sum(axis=0)
-    return (out, r1[-1]) if return_t else out
+    if return_t:
+        # No level-2 march at bounces=1: child slots carry LARGE (a LARGE
+        # seed re-exits in O(1) probes if later consumed at bounces=2).
+        t3 = jnp.concatenate(
+            [r1[-1][None], jnp.full((2, *shape[:-1]), LARGE, jnp.float32)],
+            axis=0,
+        )
+        return out, t3
+    return out
 
 
 # -- top-level pixel shader --------------------------------------------------
@@ -1213,9 +1235,10 @@ def shade(phi, co, ci, g9=None, bounces: int = 2, stats=False, texs=None,
         res = res + ((st if st is not None
                       else (jnp.zeros(4, jnp.int32), jnp.int32(0))),)
     if return_t:
-        # Glass-miss lanes carry LARGE so a later frame never seeds a
-        # transiently-junk lane with stale garbage.
-        res = res + (jnp.where(hit, t_prim, LARGE),)
+        # (3, *batch): primary + two level-2 child march ts.  Glass-miss
+        # lanes carry LARGE so a later frame never seeds a transiently-junk
+        # lane with stale garbage.
+        res = res + (jnp.where(hit[None], t_prim, LARGE),)
     return res if len(res) > 1 else img
 
 
@@ -1267,13 +1290,12 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
     ys = jnp.repeat(jnp.arange(nty, dtype=jnp.float32) * tile_h, ntx)
     xs = jnp.tile(jnp.arange(ntx, dtype=jnp.float32) * tile_w, nty)
     if t_seed is not None:
-        # Pad the seed plane to the tiled extent; padded lanes cold-start
-        # (LARGE never seeds: shade stored LARGE for junk lanes, and
-        # max(LARGE - back, 0) >= max_t re-exits in one probe anyway —
-        # pad with LARGE for uniformity).
+        # (3, H, W) march-t planes (primary + 2 bounce children).  Pad the
+        # spatial extent to the tiled size; padded lanes carry LARGE (a
+        # LARGE seed re-exits in O(1) probes; junk lanes stored LARGE too).
         t_seed = jnp.pad(
             t_seed,
-            ((0, nty * tile_h - height), (0, ntx * tile_w - width)),
+            ((0, 0), (0, nty * tile_h - height), (0, ntx * tile_w - width)),
             constant_values=LARGE,
         )
 
@@ -1282,8 +1304,9 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
         if t_seed is not None:
             seed_tile = jax.lax.dynamic_slice(
                 t_seed,
-                (yx[0].astype(jnp.int32), yx[1].astype(jnp.int32)),
-                (tile_h, tile_w),
+                (jnp.int32(0), yx[0].astype(jnp.int32),
+                 yx[1].astype(jnp.int32)),
+                (3, tile_h, tile_w),
             )
         out = _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
@@ -1298,9 +1321,9 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
     _, tiles = jax.lax.scan(body, 0, jnp.stack([ys, xs], axis=1))
     if return_t:
         tiles, t_tiles = tiles
-        t_plane = t_tiles.reshape(nty, ntx, tile_h, tile_w).transpose(
-            0, 2, 1, 3
-        ).reshape(nty * tile_h, ntx * tile_w)[:height, :width]
+        t_plane = t_tiles.reshape(nty, ntx, 3, tile_h, tile_w).transpose(
+            2, 0, 3, 1, 4
+        ).reshape(3, nty * tile_h, ntx * tile_w)[:, :height, :width]
     img = tiles.reshape(nty, ntx, tile_h, tile_w, 3).transpose(0, 2, 1, 3, 4)
     img = img.reshape(nty * tile_h, ntx * tile_w, 3)[:height, :width]
     return (img, t_plane) if return_t else img
@@ -1353,12 +1376,13 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
 
     ``t_seed``/``seed_back``/``return_t``: temporal frame coherence
     (round 5; the reference re-pays a 64-step cold march per pixel every
-    frame, Render.fx:369).  ``return_t=True`` additionally returns the
-    (height, width) per-pixel primary march t; pass it back as ``t_seed``
-    on the next frame — IF the camera did not move — and both water
-    marches start ``seed_back`` CELLS before the previous hit instead of
-    at the glass.  Hits are re-refined locally (see intersect_water), so
-    the divergence is bounded by surface motion > seed_back cells/frame
+    frame, Render.fx:369).  ``return_t=True`` additionally returns a
+    (3, height, width) per-pixel march-t stack — [0] the primary water
+    march, [1:3] the two level-2 bounce children; pass it back as
+    ``t_seed`` on the next frame — IF the camera did not move — and every
+    seeded march starts ``seed_back`` CELLS before its previous hit
+    instead of cold.  Hits are re-refined locally (see intersect_water),
+    so the divergence is bounded by surface motion > seed_back cells/frame
     entering the skipped prefix; measured pixel-diff bound in docs/PERF.md
     round 5.  seed_back >= grid diameter reproduces the cold march
     bit-for-bit (the equality test).  bounces=2/1 only.
@@ -1400,7 +1424,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     ov = jnp.float32(overstep) if overstep and overstep > 1.0 else None
     if t_seed is not None:
         t_seed = jnp.asarray(t_seed, jnp.float32)
-        assert t_seed.shape == (height, width), t_seed.shape
+        assert t_seed.shape == (3, height, width), t_seed.shape
     # seed_back cells -> world units (box [-0.5,0.5]^3, cell = 1/dims[0]).
     sb = (jnp.float32(seed_back / tex.dims[0])
           if (t_seed is not None or return_t) else None)

@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.core.state import init_state
 from fluidsimulation_tpu.render import raytrace as rt
-from fluidsimulation_tpu.render import wavefront as wf
+from fluidsimulation_tpu.experiments import wavefront as wf
 from fluidsimulation_tpu.solver.step3d import step_jit
 
 

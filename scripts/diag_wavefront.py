@@ -17,7 +17,7 @@ from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.core.state import init_state
 from fluidsimulation_tpu.render.camera import OrbitCamera
 from fluidsimulation_tpu.render.raytrace import PackedPhi, render
-from fluidsimulation_tpu.render.wavefront import render_wavefront
+from fluidsimulation_tpu.experiments.wavefront import render_wavefront
 from fluidsimulation_tpu.solver.step3d import step_jit
 
 

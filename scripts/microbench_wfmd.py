@@ -74,7 +74,7 @@ def main():
 
     # Stripped pool march: lane-step + md, no refill/trace/cond — the
     # pool's irreducible per-round cost.
-    from fluidsimulation_tpu.render import wavefront as wf
+    from fluidsimulation_tpu.experiments import wavefront as wf
 
     @functools.partial(jax.jit, static_argnames=("fmt", "rounds", "spr"))
     def bare_pool(tex, p0, ci, mt, fmt, rounds, spr):

@@ -229,7 +229,7 @@ def test_temporal_seed():
     cold, t0 = rt.render(state.phi, co, right, up, fwd, 80, 60,
                          band_rows=30, band_cols=40, return_t=True)
     cold, t0 = np.asarray(cold), np.asarray(t0)
-    assert t0.shape == (60, 80) and np.isfinite(t0).all()
+    assert t0.shape == (3, 60, 80) and np.isfinite(t0).all()
 
     # (a) huge backoff == cold, bit-for-bit.
     huge = np.asarray(
@@ -263,7 +263,13 @@ def test_temporal_seed():
     # Whole-frame (untiled) path carries the same plumbing.
     img, t = rt.render(state.phi, co, right, up, fwd, 80, 60,
                        t_seed=None, return_t=True)
-    assert np.asarray(t).shape == (60, 80)
+    assert np.asarray(t).shape == (3, 60, 80)
+    # bounces=1: child slots carry LARGE.
+    img1, tb1 = rt.render(state.phi, co, right, up, fwd, 80, 60,
+                          bounces=1, return_t=True)
+    tb1 = np.asarray(tb1)
+    assert tb1.shape == (3, 60, 80)
+    assert (tb1[1:] >= rt.LARGE).all()
 
 
 def test_escaped_bounce_child_is_miss():

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.core.state import init_state
 from fluidsimulation_tpu.render import raytrace as rt
-from fluidsimulation_tpu.render import wavefront as wf
+from fluidsimulation_tpu.experiments import wavefront as wf
 from fluidsimulation_tpu.render.camera import OrbitCamera
 from fluidsimulation_tpu.solver.step3d import step_jit
 
