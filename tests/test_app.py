@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.core.state import init_state
@@ -34,7 +35,10 @@ def test_step_guarded_healthy():
     assert not bool(ok)
 
 
+@pytest.mark.slow
 def test_simulate_scan_equals_loop():
+    # slow tier since round 5: scan-driver equality is a round-3 record,
+    # not a regression surface (the demo drives step_jit directly).
     state = init_state(CFG)
     a = simulate(state, 0.01, CFG, 3)
     b = state

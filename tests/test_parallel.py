@@ -193,8 +193,11 @@ def test_halo_apic_collective_budget(mesh):
     }, counts
 
 
+@pytest.mark.slow
 def test_halo_apic_step_matches_single(mesh):
-    """The engineered APIC halo step (2-cell x halos for the quadratic
+    """(slow tier since round 5 — ~2-3 min on the 8-device CPU mesh; the
+    fast tier keeps test_halo_apic_collective_budget + the dryrun as its
+    signal.)  The engineered APIC halo step (2-cell x halos for the quadratic
     windows, slab exchange carrying C, fused local-frame P2G) == the
     single-device APIC fast step to fp-reassociation tolerance."""
     from fluidsimulation_tpu.parallel.halo_apic import (
@@ -232,8 +235,11 @@ def test_halo_apic_step_matches_single(mesh):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_halo_apic_drop_counter(mesh):
-    """with_diagnostics reports slab-capacity drops (0 at the default)."""
+    """(slow tier since round 5 — the heaviest test in the suite: forced
+    tight-capacity recompiles.)  with_diagnostics reports slab-capacity
+    drops (0 at the default)."""
     from fluidsimulation_tpu.parallel.halo_apic import (
         make_halo_apic_step,
         shard_apic_state_x,

@@ -1,6 +1,7 @@
 """Renderer tests: component checks + an end-to-end frame smoke test."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -162,8 +163,8 @@ def test_sphere_trace_mode_matches_exact():
 def test_overstep_omega1_matches_exact():
     """Enhanced sphere tracing on the outside march (round 4): omega=1.0
     degenerates the certification chain to the plain march — bit-identical
-    image; omega>1 is the approximate fast mode, bounded here loosely (the
-    recorded pixel-diff bounds live in docs/PERF.md)."""
+    image; the loop-level check and the omega=1.6 bound live in the slow
+    companion below (fast-tier split, round 5)."""
     cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
     state = init_state(cfg)
     for _ in range(3):
@@ -174,14 +175,29 @@ def test_overstep_omega1_matches_exact():
         rt.render(state.phi, co, right, up, fwd, 80, 60,
                   band_rows=30, band_cols=40)
     )
-    # render() maps overstep<=1.0 to the plain march (mode off) — assert
-    # that gate, then drive the CERTIFIED-OVERSTEP LOOP ITSELF at
-    # omega=1.0 through shade() (render can't reach it at 1.0 by design).
+    # render() maps overstep<=1.0 to the plain march (mode off).
     off = np.asarray(
         rt.render(state.phi, co, right, up, fwd, 80, 60,
                   band_rows=30, band_cols=40, overstep=1.0)
     )
     np.testing.assert_array_equal(base, off)
+
+
+@pytest.mark.slow
+def test_overstep_loop_and_bound():
+    """Drive the CERTIFIED-OVERSTEP LOOP ITSELF at omega=1.0 through
+    shade() (render can't reach it at 1.0 by design), and bound the
+    omega=1.6 fast mode (the recorded pixel-diff bounds live in
+    docs/PERF.md)."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(3):
+        state = step_jit(state, 1.0 / 120.0, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+    base = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40)
+    )
 
     import jax.numpy as jnp
 
