@@ -132,12 +132,13 @@ def main():
 
         sim_render_fps = 1.0 / (1.0 / steps_per_sec + render_s)
 
-        # Interactive sim+render loop — the shipping demo-loop default
-        # since round 5 (app/demo.py --temporal): step, then draw with the
-        # frame's water marches seeded from the previous frame's per-pixel
-        # t (raytrace t_seed; measured pixel-diff bound in docs/PERF.md
-        # round 5).  This is the configuration a user of the reference
-        # demo actually experiences between camera moves.
+        # Interactive sim+render loop — the OPT-IN temporal mode
+        # (app/demo.py --temporal): step, then draw with the frame's
+        # water marches seeded from the previous frame's per-pixel ts
+        # (raytrace t_seed; measured pixel-diff bound in docs/PERF.md
+        # round 5).  Recorded alongside the exact-mode numbers so the
+        # interactive capability is on the record; the headline
+        # render_ms_800x600 stays exact-image-mode.
         def draw_seeded(phi, t_seed):
             img, t = render_frame(phi, co, right, up, fwd,
                                   width=800, height=600, band_rows=100,

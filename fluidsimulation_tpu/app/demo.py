@@ -189,14 +189,15 @@ def main(argv=None):
         "0 (default) / 1.0 = the exact reference march",
     )
     ap.add_argument(
-        "--temporal", action=argparse.BooleanOptionalAction, default=True,
-        help="temporal frame coherence (round 5): seed each frame's water "
-        "marches from the previous frame's per-pixel hit t when the camera "
-        "is unchanged (raytrace.render t_seed).  The reference re-pays a "
-        "64-step cold march per pixel per frame (Render.fx:369); seeding "
-        "skips the already-traversed empty prefix with a measured "
-        "pixel-diff bound (docs/PERF.md round 5).  Cleared automatically "
-        "on camera moves and resets; --no-temporal = cold every frame",
+        "--temporal", action=argparse.BooleanOptionalAction, default=False,
+        help="temporal frame coherence (round 5, opt-in like --overstep): "
+        "seed each frame's water marches from the previous frame's "
+        "per-pixel hit ts when the camera is unchanged (raytrace.render "
+        "t_seed).  The reference re-pays a 64-step cold march per pixel "
+        "per frame (Render.fx:369); seeding skips the already-traversed "
+        "prefix — measured +10-15%% on thick-water scenes at demo rates, "
+        "a wash on fast thin chaos, ~2%% px drift (docs/PERF.md round "
+        "5).  Cleared automatically on camera moves and resets",
     )
     ap.add_argument(
         "--serve", type=int, default=0, metavar="PORT",
