@@ -11,6 +11,10 @@ sys.path.insert(0, ".")
 import jax
 import numpy as np
 
+from fluidsimulation_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from fluidsimulation_tpu.core.config import SimConfig
 from fluidsimulation_tpu.core.state import init_state
 from fluidsimulation_tpu.solver.step3d import step_jit, clamp_dt

@@ -25,5 +25,21 @@ if os.environ.get("JAX_PLATFORMS", "cpu") != "":
         pass
 
 
+# Persistent compilation cache for the CPU test backend (round 5): the
+# fast tier is compile-bound on a small machine (~20 min cold on 1 core),
+# and XLA:CPU executables cache exactly like TPU ones.  A separate dir
+# from the TPU .jax_cache keeps the two backends' entries apart.  Repeat
+# runs of unchanged tests then skip nearly all compilation; the cold
+# number stays the honest tier cost (README).
+try:
+    from fluidsimulation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_cpu")
+    )
+except Exception:
+    pass
+
 # The `slow` marker is registered once, in pyproject.toml
 # [tool.pytest.ini_options] — no duplicate registration here.

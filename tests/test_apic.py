@@ -145,6 +145,8 @@ def test_affine_field_roundtrips_exactly():
                                np.asarray(C)[inner], atol=2e-2)
 
 
+@pytest.mark.slow  # round 5 fast-tier re-tier: 55 s; the 2D smoke +
+# oracle parity tests keep the fast APIC signal
 def test_step_apic_dam_break_smoke():
     from fluidsimulation_tpu.solver.apic import init_apic_state, step_apic_jit
 
@@ -248,6 +250,7 @@ def test_advect_rk3_pic_consistency():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=5e-3)
 
 
+@pytest.mark.slow  # round 5: 29 s; the fused variant below stays fast
 def test_p2g_table_matches_oracle():
     """p2g_apic_from_table == p2g_apic (dense spline windows over the
     16-field slot table + bounded overflow scatter vs direct scatter),
@@ -387,6 +390,7 @@ def test_apic_checkpoint_roundtrip(tmp_path):
         load_apic_state(path, _cfg(8))
 
 
+@pytest.mark.slow  # round 5: 26 s; 2D extension tier
 def test_apic2d_affine_roundtrip_and_smoke():
     """2D APIC tier: affine fields round-trip exactly (interior), and the
     2D stepper runs a stable dam break (the reference's 2D stepping-stone

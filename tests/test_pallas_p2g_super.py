@@ -2,6 +2,7 @@
 mode on CPU; tests/test_tpu_kernels.py compile-smokes Mosaic on real TPU)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -48,6 +49,9 @@ def test_pallas_super_p2g_matches_direct_interpret():
     _check(got, direct.transfer_to_grid(CFG, pos, vel))
 
 
+@pytest.mark.slow  # round 5: 25 s; the matches_direct + overflow
+# interpret tests keep the fast kernel signal (z-blocking only
+# activates at 256^3 on TPU)
 def test_pallas_super_p2g_zblocked_bitexact_interpret():
     """Round-5 z-blocking (the 256^3 enabler): per-z-block accumulation is
     the identical window arithmetic over a lane slice — reductions never
@@ -73,6 +77,7 @@ def test_pallas_super_p2g_overflow_interpret():
     _check(got, direct.transfer_to_grid(CFG, pos, vel))
 
 
+@pytest.mark.slow  # round 5: 41 s; multi-tile arithmetic soak
 def test_pallas_super_p2g_batched_multi_ytile():
     """Both kernel forms on an anisotropic grid whose supercell y extent
     spans TWO ty=8 tiles (exercises the j>0 / sy0-offset arithmetic the

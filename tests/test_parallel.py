@@ -145,12 +145,64 @@ def test_sharded_apic_step_matches_single(mesh):
 
 
 def test_halo_step_collective_budget(mesh):
-    """Pin the engineered halo step's compiled-HLO collective counts at
-    32^3/D=8 (docs/PARALLEL.md; VERDICT r3 item 5): a refactor that falls
-    back to GSPMD-style lowering (447 permutes / 347 all-to-alls / 29
-    all-reduces at this shape) must fail here.  Exact-pinned on this
-    image's jax; if a jax upgrade shifts counts benignly, re-baseline
-    against scripts/diag_mesh_work.py."""
+    """Pin the engineered halo step's LOWERED-StableHLO collective counts
+    at 32^3/D=8 (fast tier, round 5): the step emits its collectives
+    explicitly via shard_map, so they are pinnable before XLA compile
+    (7 s vs 42 s on this mesh) — a refactor that silently falls back to
+    GSPMD auto-partitioning loses them from the lowered text entirely and
+    fails here.  The compiled-text budget of record (docs/PARALLEL.md:
+    84 permute / 14 AG / 20 a2a vs GSPMD's 447 / 56+ / 347) is pinned in
+    the slow companion below."""
+    from fluidsimulation_tpu.parallel.halo_step import (
+        make_halo_step,
+        shard_state_x,
+    )
+    from fluidsimulation_tpu.parallel.hlo import lowered_collectives
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = shard_state_x(init_state(cfg), mesh)
+    counts = lowered_collectives(make_halo_step(cfg, mesh), state, 0.01)
+    assert counts == {
+        "collective-permute": 81,
+        "all-gather": 14,
+        "all-reduce": 0,
+        "all-to-all": 0,
+        "reduce-scatter": 0,
+    }, counts
+
+
+def test_halo_apic_collective_budget(mesh):
+    """Pin the APIC halo step's LOWERED-StableHLO collective counts at
+    32^3/D=8 (fast tier, round 5; see test_halo_step_collective_budget) —
+    same skeleton as the FLIP halo step (81 lowered permutes, 0
+    all-reduces), 12 all-gathers (slab exchange carries pos/vel/C; the
+    mac9 G2P pack is per-shard so it adds no gathers beyond the projected
+    full grids).  Compiled-text pin in the slow companion below."""
+    from fluidsimulation_tpu.parallel.halo_apic import (
+        make_halo_apic_step,
+        shard_apic_state_x,
+    )
+    from fluidsimulation_tpu.parallel.hlo import lowered_collectives
+    from fluidsimulation_tpu.solver.apic import init_apic_state
+
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = shard_apic_state_x(init_apic_state(cfg), mesh)
+    counts = lowered_collectives(make_halo_apic_step(cfg, mesh), state, 0.01)
+    assert counts == {
+        "collective-permute": 81,
+        "all-gather": 12,
+        "all-reduce": 0,
+        "all-to-all": 0,
+        "reduce-scatter": 0,
+    }, counts
+
+
+@pytest.mark.slow
+def test_halo_step_compiled_collective_budget(mesh):
+    """The compiled-HLO budget of record for the FLIP halo step
+    (docs/PARALLEL.md; VERDICT r3 item 5).  Exact-pinned on this image's
+    jax; if a jax upgrade shifts counts benignly, re-baseline against
+    scripts/diag_mesh_work.py."""
     from fluidsimulation_tpu.parallel.halo_step import (
         make_halo_step,
         shard_state_x,
@@ -169,11 +221,10 @@ def test_halo_step_collective_budget(mesh):
     }, counts
 
 
-def test_halo_apic_collective_budget(mesh):
-    """Pin the APIC halo step's compiled-HLO collective counts at 32^3/D=8
-    — same skeleton as the FLIP halo step (84 permutes, 0 all-reduces),
-    12 all-gathers (slab exchange carries pos/vel/C; the mac9 G2P pack is
-    per-shard so it adds no gathers beyond the projected full grids)."""
+@pytest.mark.slow
+def test_halo_apic_compiled_collective_budget(mesh):
+    """The compiled-HLO budget of record for the APIC halo step (same
+    skeleton as FLIP: 84 permutes, 0 all-reduces; 12 all-gathers)."""
     from fluidsimulation_tpu.parallel.halo_apic import (
         make_halo_apic_step,
         shard_apic_state_x,

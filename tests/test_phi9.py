@@ -99,6 +99,8 @@ def test_spec_march_matches_serial(phi16, monkeypatch):
     )
 
 
+@pytest.mark.slow  # round 5: 38 s; gradient9 parity stays fast via
+# the dense-random/levelset tests, march parity via spec_march
 def test_render_g9_matches_dense_taps(phi16, monkeypatch):
     co, right, up, fwd = OrbitCamera().frame(64, 48)
     img_g9 = np.asarray(

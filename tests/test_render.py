@@ -131,10 +131,34 @@ def test_render_frame_smoke():
 
 
 def test_sphere_trace_mode_matches_exact():
-    """Sphere-trace skip (deepened march texture, VERDICT r3 item 1):
-    scale=0 is the exact march bit-for-bit; the default margin's skips are
-    certificate-grade (L1/sqrt3 interior distance folded into deep nodes,
-    interior.deepen_phi), so the image stays bit-identical on this scene."""
+    """Sphere-trace skip (deepened march texture, VERDICT r3 item 1; the
+    shipped render_frame/demo DEFAULT since round 5): the default margin's
+    skips are certificate-grade (L1/sqrt3 interior distance folded into
+    deep nodes, interior.deepen_phi), so the image stays bit-identical to
+    the plain march on this scene.  The scale=0 degenerate-skip identity
+    is a third render compile and lives in the slow companion below."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(3):
+        state = step_jit(state, 1.0 / 120.0, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+
+    base = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40)
+    )
+    on = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, sphere_trace=True)
+    )
+    np.testing.assert_array_equal(base, on)
+
+
+@pytest.mark.slow
+def test_sphere_trace_scale0_matches_exact():
+    """scale=0 runs the deepened texture + skip program with zero-width
+    skips — bit-for-bit the exact march (the degenerate end of the
+    sphere-trace certification chain)."""
     cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
     state = init_state(cfg)
     for _ in range(3):
@@ -150,14 +174,7 @@ def test_sphere_trace_mode_matches_exact():
                   band_rows=30, band_cols=40,
                   sphere_trace=True, sphere_scale=0.0)
     )
-    # scale=0: the deepened texture + skip program with zero-width skips.
     np.testing.assert_array_equal(base, off)
-
-    on = np.asarray(
-        rt.render(state.phi, co, right, up, fwd, 80, 60,
-                  band_rows=30, band_cols=40, sphere_trace=True)
-    )
-    np.testing.assert_array_equal(base, on)
 
 
 def test_overstep_omega1_matches_exact():
@@ -228,14 +245,12 @@ def test_overstep_loop_and_bound():
     assert d.mean() < 5e-3
 
 
-def test_temporal_seed():
-    """Temporal frame coherence (round 5, VERDICT r4 item 3): seeding the
-    marches with the previous frame's per-pixel t.  Contract: (a) a
-    seed_back >= the grid diameter reproduces the cold march BIT-FOR-BIT
-    (the seeded start degenerates to t=0); (b) re-rendering the SAME scene
-    with the default backoff stays within a tight pixel bound; (c) across
-    real sim steps the divergence stays small and bounded (the recorded
-    bound lives in docs/PERF.md round 5)."""
+def test_temporal_seed_huge_backoff_bitwise():
+    """Temporal frame coherence, fast-tier contract (round 5, VERDICT r4
+    item 3): a seed_back >= the grid diameter reproduces the cold march
+    BIT-FOR-BIT (the seeded start degenerates to t=0).  The backoff-bound
+    and cross-step contracts live in the slow companion below (two render
+    compiles here vs six there — fast-tier runtime, VERDICT r4 item 7)."""
     cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
     state = init_state(cfg)
     for _ in range(4):
@@ -247,12 +262,30 @@ def test_temporal_seed():
     cold, t0 = np.asarray(cold), np.asarray(t0)
     assert t0.shape == (3, 60, 80) and np.isfinite(t0).all()
 
-    # (a) huge backoff == cold, bit-for-bit.
     huge = np.asarray(
         rt.render(state.phi, co, right, up, fwd, 80, 60,
                   band_rows=30, band_cols=40, t_seed=t0, seed_back=1000.0)
     )
     np.testing.assert_array_equal(cold, huge)
+
+
+@pytest.mark.slow
+def test_temporal_seed():
+    """Temporal frame coherence, full contract: (b) re-rendering the SAME
+    scene with the default backoff stays within a tight pixel bound; (c)
+    across real sim steps the divergence stays small and bounded (the
+    recorded bound lives in docs/PERF.md round 5); plus the untiled and
+    bounces=1 plumbing.  The bit-for-bit huge-backoff contract (a) stays
+    in the fast tier above."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(4):
+        state = step_jit(state, 0.01, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+
+    cold, t0 = rt.render(state.phi, co, right, up, fwd, 80, 60,
+                         band_rows=30, band_cols=40, return_t=True)
+    cold, t0 = np.asarray(cold), np.asarray(t0)
 
     # (b) static scene, default backoff: tiny divergence.
     warm = np.asarray(

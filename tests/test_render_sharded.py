@@ -42,6 +42,8 @@ def test_sharded_render_matches_tiled():
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
 
 
+@pytest.mark.slow  # round 5: 33 s; the collective-budget pin +
+# driver dryrun keep the fast sharded-render signal
 def test_sharded_render_tile_padding():
     # 6 tiles over 8 devices: padding slots render tile (0,0) redundantly
     # and must be dropped on reassembly.

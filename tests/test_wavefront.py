@@ -14,6 +14,11 @@ exact (test_golden_frame_wavefront)."""
 import numpy as np
 import pytest
 
+# Round 5: the wavefront renderer is a quarantined measured-dead
+# experiment (fluidsimulation_tpu/experiments/); its whole equality
+# suite runs in the slow tier.
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from fluidsimulation_tpu.core.config import SimConfig
