@@ -39,49 +39,61 @@ def main():
     real_fits = pps.super_p2g_fits
 
     def make(fits):
+        # The carried advect cache's row padding depends on the P2G path,
+        # and init_state's zero cache is one retrace away from the step's
+        # fixed point — so trace BOTH variants (init-shape + fixed-point)
+        # under the patch via a plain jit; later calls hit the compiled
+        # cache and never consult the gate again.
         pps.super_p2g_fits = (lambda *a, **k: False) if not fits else real_fits
         try:
-            f = jax.jit(
-                lambda s, dt: step3d.step(s, dt, cfg),
-            ).lower(init_state(cfg), 1.0 / 60.0).compile()
+            stepf = jax.jit(lambda s, dt: step3d.step(s, dt, cfg))
+            s = jax.device_put(init_state(cfg))
+            s = stepf(s, 1.0 / 60.0)
+            s = stepf(s, 1.0 / 60.0)
+            fetch(s)
         finally:
             pps.super_p2g_fits = real_fits
-        return f
+        return stepf, s
 
     t0 = time.perf_counter()
-    f_xla = make(False)
+    f_xla, sa = make(False)
     print(f"compile XLA-P2G step: {time.perf_counter()-t0:.0f} s", flush=True)
     t0 = time.perf_counter()
-    f_pal = make(True)
+    f_pal, sb = make(True)
     print(f"compile Pallas-P2G step: {time.perf_counter()-t0:.0f} s",
           flush=True)
 
-    s = jax.device_put(init_state(cfg))
+    # The two programs carry different advect-cache paddings (the Pallas
+    # P2G pads its row tables differently), so each steps its OWN state,
+    # in lockstep, interleaved so slow-state drift cancels.
     for _ in range(3):
-        s = f_xla(s, 1.0 / 60.0)
-    fetch(s)
-
-    # First post-compile execution of each program absorbs the tunnel
-    # stall; drop it.
-    s = f_pal(s, 1.0 / 60.0)
-    fetch(s)
+        sa = f_xla(sa, 1.0 / 60.0)
+    fetch(sa)
+    for _ in range(3):
+        sb = f_pal(sb, 1.0 / 60.0)
+    fetch(sb)
 
     ta, tb = [], []
     for i in range(10):
         t0 = time.perf_counter()
-        s = f_xla(s, 1.0 / 60.0)
-        fetch(s)
+        sa = f_xla(sa, 1.0 / 60.0)
+        fetch(sa)
         ta.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        s = f_pal(s, 1.0 / 60.0)
-        fetch(s)
+        sb = f_pal(sb, 1.0 / 60.0)
+        fetch(sb)
         tb.append(time.perf_counter() - t0)
         print(f"  step {i}: xla {ta[-1]:.2f} s  pallas {tb[-1]:.2f} s",
               flush=True)
-    print(f"XLA-P2G step:    median {np.median(ta):.2f} s  best "
-          f"{min(ta):.2f}", flush=True)
-    print(f"Pallas-P2G step: median {np.median(tb):.2f} s  best "
-          f"{min(tb):.2f}", flush=True)
+    # Drop each program's first timed execution (first-execution tunnel
+    # stall, docs/PERF.md round 4).
+    print(f"XLA-P2G step:    median {np.median(ta[1:]):.2f} s  best "
+          f"{min(ta[1:]):.2f}", flush=True)
+    print(f"Pallas-P2G step: median {np.median(tb[1:]):.2f} s  best "
+          f"{min(tb[1:]):.2f}", flush=True)
+    r = np.array(tb[1:]) / np.array(ta[1:])
+    print(f"pallas/xla per-pair ratio: median {np.median(r):.3f}",
+          flush=True)
 
 
 if __name__ == "__main__":
