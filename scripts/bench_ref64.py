@@ -44,12 +44,24 @@ def main(n_steps=10):
         best = max(best, n_steps / (time.perf_counter() - t0))
     print(f"step: {1000/best:.1f} ms = {best:.2f} steps/s (best of 2x{n_steps})")
 
+    # Render the CANONICAL ref64 scene (docs/PERF.md scene inventory:
+    # 10 steps from reset — the pre-collapse thick water column all
+    # round-4 ref64 render records used).  The step timing above leaves
+    # the state at step ~21 (mid-collapse, ~1.9x the render rows);
+    # re-deriving the step-10 state keeps every number in this script
+    # keyed to the ONE scene ID.
+    s = jax.device_put(init_state(cfg))
+    for _ in range(10):
+        s = step_jit(s, dt, cfg)
+    fetch(s)
+
     co, right, up, fwd = OrbitCamera().frame(800, 600)
 
     def draw(phi):
-        # 100-wide tiles measured best on this scene (scripts/
-        # diag_ref64_render.py: 417-433 ms for 100x100/100-row tiles vs
-        # 505-603 for 150x100/100x200; 64x100 noise-equal at 420-522).
+        # Tile shape re-swept interleaved round 5 post-miss-fix
+        # (scripts/diag_r5_ref64_tiles.py): 100-row bands, 64x100,
+        # 100x100, 50x100, 32x100 all within tunnel noise on this scene
+        # — keep the round-3 100-row bands.
         img = render_frame(phi, co, right, up, fwd, width=800, height=600,
                            band_rows=100)
         jax.block_until_ready(img)
@@ -68,30 +80,13 @@ def main(n_steps=10):
     print(f"render: {1000*rbest:.1f} ms/frame (800x600, exact 2-bounce)")
     print(f"sim+render: {fps:.2f} fps (reference: 30 fps on a laptop GPU)")
 
-    # Certified fast stack (opt-in modes, docs/PERF.md round 5): overstep
-    # omega=1.4 on top of the default sphere-trace march (~3% px > 1/255
-    # pixel bound on the tested scenes).
-    def draw_fast(phi):
-        img = render_frame(phi, co, right, up, fwd, width=800, height=600,
-                           band_rows=100, overstep=1.4)
-        jax.block_until_ready(img)
-        jax.device_get(np.asarray(img).ravel()[0])
-        return img
-
-    img = draw_fast(s.phi)
-    fbest = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(3):
-            img = draw_fast(s.phi)
-        fbest = min(fbest, (time.perf_counter() - t0) / 3)
-    assert np.isfinite(np.asarray(img)).all()
-    print(f"render fast stack: {1000*fbest:.1f} ms/frame (overstep 1.4)")
-    print(f"sim+render fast: {1.0/(1.0/best + fbest):.2f} fps")
-
-    # Interactive loop with temporal coherence (opt-in --temporal; the
-    # ref64 thick-water scene is where the mechanism pays, docs/PERF.md
-    # round-5 temporal section: 1.10-1.15x).
+    # NOTE on fast modes at ref64 (round-5 interleaved A/B,
+    # scripts/diag_r5_ref64_modes.py): the shipped sphere-trace default
+    # is the win here (-10.6% vs the plain march, bit-identical);
+    # overstep omega=1.4/1.6 measured a WASH-TO-NEGATIVE on this
+    # inside-march-dominated scene (1.02-1.12x) and is left off.  The
+    # one certified non-exact win is temporal coherence (-21%
+    # self-seeded), measured below as the interactive loop.
     t_prev = None
     frame_times = []
     for i in range(8):
@@ -99,13 +94,13 @@ def main(n_steps=10):
         s = step_jit(s, dt, cfg)
         img, t_prev = render_frame(
             s.phi, co, right, up, fwd, width=800, height=600,
-            band_rows=100, overstep=1.4, t_seed=t_prev, return_t=True)
+            band_rows=100, t_seed=t_prev, return_t=True)
         jax.block_until_ready(img)
         jax.device_get(np.asarray(img).ravel()[0])
         frame_times.append(time.perf_counter() - t0)
     assert np.isfinite(np.asarray(img)).all()
     med = float(np.median(frame_times[1:]))
-    print(f"interactive loop (temporal + fast stack): "
+    print(f"interactive loop (temporal): "
           f"{1000*med:.1f} ms/frame = {1.0/med:.2f} fps "
           f"(median of steps 2-8)")
 
