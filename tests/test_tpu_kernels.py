@@ -131,3 +131,31 @@ def test_tpu_pallas_pairpack():
     ker = pack_mac3_pair_pallas(ga, gb)
     for r, k in zip(ref, ker):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(k))
+
+
+@requires_tpu
+def test_tpu_pallas_p2g_super_zblocked():
+    """Round 5: the multi-z-block kernel form (the 256^3 enabler) on a
+    tiny anisotropic grid — nz=256 pushes Ks*nz past the flagship Mosaic
+    budget so the kernel takes the z-blocked path (nzb=2) on real Mosaic,
+    where the CPU suite only exercises it in interpret mode."""
+    from fluidsimulation_tpu.ops import supertable as st
+    from fluidsimulation_tpu.ops.pallas_p2g_super import (
+        p2g_from_super_pallas,
+        super_p2g_fits,
+    )
+
+    cfg = SimConfig(nx=8, ny=16, nz=256, cells_per_meter=256.0,
+                    particles_per_cell_axis=1)
+    assert super_p2g_fits(cfg) and st.super_k(cfg) * cfg.nz > 8 * 128
+    state = init_state(cfg)
+    table = st.build_super_table(cfg, state.pos, state.vel)
+    got = p2g_from_super_pallas(cfg, table, state.pos, state.vel)
+    want = st.p2g_from_super(cfg, table, state.pos, state.vel)
+    for i in range(3):
+        valid = np.asarray(want[3 + i])
+        np.testing.assert_array_equal(np.asarray(got[3 + i]), valid)
+        np.testing.assert_allclose(
+            np.asarray(got[i])[valid], np.asarray(want[i])[valid],
+            rtol=2e-4, atol=2e-4,
+        )
