@@ -1332,6 +1332,25 @@ def _render_scan(tex, cam_pos, cam_right, cam_up, cam_fwd,
 SEED_BACK = 6.0  # cells; see render() docstring
 
 
+def _coarse_seed_upsample(t_c, k: int, height: int, width: int):
+    """Conservative full-res seed planes from a coarse pass's return_t.
+
+    Junk/miss lanes carry LARGE — map them to 0 (cold start) BEFORE
+    pooling so a coarse glass-silhouette miss never seeds a fine hit
+    lane past its surface.  A 3x3 min-pool over coarse cells (padded
+    with 0 = cold) absorbs one coarse cell of silhouette displacement;
+    nearest upsample by k, crop to the frame."""
+    t = jnp.where(t_c >= LARGE, 0.0, t_c)
+    p = jnp.pad(t, ((0, 0), (1, 1), (1, 1)))
+    m = t
+    hc, wc = t.shape[1], t.shape[2]
+    for dy in range(3):
+        for dx in range(3):
+            m = jnp.minimum(m, p[:, dy:dy + hc, dx:dx + wc])
+    m = jnp.repeat(jnp.repeat(m, k, axis=1), k, axis=2)
+    return m[:, :height, :width]
+
+
 def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
            band_rows: int = 0, band_cols: int = 0, bounces: int = 2,
            interior_skip: bool = False, sphere_trace: bool = False,
@@ -1339,7 +1358,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
            sphere_scale: float = SPHERE_SCALE, sphere_spec: int = _SPEC,
            overstep: float = 0.0,
            t_seed=None, seed_back: float = SEED_BACK,
-           return_t: bool = False):
+           return_t: bool = False, coarse_seed: int = 0):
     """Render a (height, width, 3) float32 image from the level set.
 
     Rays: fragCoord uv mapping per Render.fx:521 + VS:48-58; camera frame
@@ -1427,7 +1446,25 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
         assert t_seed.shape == (3, height, width), t_seed.shape
     # seed_back cells -> world units (box [-0.5,0.5]^3, cell = 1/dims[0]).
     sb = (jnp.float32(seed_back / tex.dims[0])
-          if (t_seed is not None or return_t) else None)
+          if (t_seed is not None or return_t or coarse_seed > 1) else None)
+    if coarse_seed > 1 and t_seed is None and bounces >= 1:
+        # SAME-FRAME coarse seeding (round 5): a 1/k-res pre-pass over the
+        # same textures/modes yields fresh per-pixel march ts; the full-res
+        # marches start seed_back cells before the conservatively
+        # min-pooled coarse hit instead of cold.  Unlike temporal seeding
+        # the seeds are never stale, so this pays on moving scenes too;
+        # the error class is the seeded re-refinement's (measured
+        # pixel-diff bound in docs/PERF.md round 5).  Both passes trace
+        # into ONE program under render_frame's jit.
+        kc = int(coarse_seed)
+        hc, wc = -(-height // kc), -(-width // kc)
+        _, t_c = _render_scan(
+            tex, cam_pos, cam_right, cam_up, cam_fwd,
+            wc, hc, min(50, hc), min(100, wc), g9=g9, bounces=bounces,
+            texs=texs, sphere_margin=sm, sphere_scale=sc, sphere_spec=sp,
+            overstep=ov, t_seed=None, seed_back=sb, return_t=True,
+        )
+        t_seed = _coarse_seed_upsample(t_c, kc, height, width)
     if band_rows <= 0 and band_cols <= 0:
         return _render_tile(
             tex, cam_pos, cam_right, cam_up, cam_fwd,
@@ -1453,7 +1490,7 @@ def render(phi, cam_pos, cam_right, cam_up, cam_fwd, width: int, height: int,
     static_argnames=("width", "height", "band_rows", "band_cols", "bounces",
                      "interior_skip", "sphere_trace", "sphere_margin",
                      "sphere_scale", "sphere_spec", "overstep", "seed_back",
-                     "return_t"),
+                     "return_t", "coarse_seed"),
 )
 def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  width: int, height: int,
@@ -1463,7 +1500,7 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                  sphere_scale: float = SPHERE_SCALE,
                  sphere_spec: int = _SPEC, overstep: float = 0.0,
                  t_seed=None, seed_back: float = SEED_BACK,
-                 return_t: bool = False):
+                 return_t: bool = False, coarse_seed: int = 0):
     """One fully-jitted frame from the RAW level set: the texture builds
     (PackedPhi + the Phi9 gradient rows) compile into the same program as
     the tile scan, so a frame is ONE dispatch instead of ~40 eager texture
@@ -1486,4 +1523,5 @@ def render_frame(phi, cam_pos, cam_right, cam_up, cam_fwd, *,
                   interior_skip=interior_skip, sphere_trace=sphere_trace,
                   sphere_margin=sphere_margin, sphere_scale=sphere_scale,
                   sphere_spec=sphere_spec, overstep=overstep,
-                  t_seed=t_seed, seed_back=seed_back, return_t=return_t)
+                  t_seed=t_seed, seed_back=seed_back, return_t=return_t,
+                  coarse_seed=coarse_seed)

@@ -335,3 +335,37 @@ def test_escaped_bounce_child_is_miss():
     ip, d_a, w_a, d_b, w_b = rt._expand_bounce(md, 1.0 / 16.0, co, ci)
     assert float(w_a[0]) == 1.0 and float(w_b[0]) == 0.0  # miss weights
     np.testing.assert_allclose(np.asarray(d_a[0]), [0, 1, 0], atol=0)
+
+
+def test_coarse_seed_contract():
+    """Same-frame coarse seeding (round 5): a 1/k-res pre-pass seeds the
+    full-res marches with fresh ts (render/raytrace.py coarse_seed).
+    Contract: (a) seed_back >= the grid diameter reproduces the cold
+    march BIT-FOR-BIT (seeded starts degenerate to t=0 — the pre-pass
+    then provably cannot change the image); (b) at the default backoff
+    the pixel drift stays within the seeded-re-refinement class
+    (sub-percent on this scene; recorded TPU bounds in docs/PERF.md
+    round 5)."""
+    cfg = SimConfig(nx=32, ny=32, nz=32, cells_per_meter=32.0)
+    state = init_state(cfg)
+    for _ in range(4):
+        state = step_jit(state, 0.01, cfg)
+    co, right, up, fwd = OrbitCamera().frame(80, 60)
+
+    cold = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40)
+    )
+    huge = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, coarse_seed=4,
+                  seed_back=1000.0)
+    )
+    np.testing.assert_array_equal(cold, huge)
+
+    warm = np.asarray(
+        rt.render(state.phi, co, right, up, fwd, 80, 60,
+                  band_rows=30, band_cols=40, coarse_seed=4)
+    )
+    d = np.abs(warm - cold)
+    assert (d.max(axis=-1) > 1 / 255).mean() < 0.03, d.max()
