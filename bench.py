@@ -184,6 +184,31 @@ def main():
         assert np.isfinite(np.asarray(img_i)).all()
         interactive_fps = 1.0 / inter_s
 
+        # Exact-fidelity HEADLINE config (round 5; closes the one
+        # inventory partial): continue the SAME collapsed state with the
+        # overflow fallback auto-tiered until it covers it — at this
+        # state the tier rises to num_particles, i.e. the transfer
+        # matches the reference's unbounded per-cell lists exactly
+        # (gpParticleIndexing.hlsli:28-45).  Slower by design; recorded
+        # so the headline workload has a number at reference fidelity.
+        ecfg, estate = cfg, state
+        for _ in range(3):
+            ecfg = overflow_autotune(
+                ecfg, int(overflow_count(estate.pos, ecfg)))
+            estate = step_jit(estate, 1.0 / 60.0, ecfg)
+        fetch(estate)
+        exact_sps = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                estate = step_jit(estate, 1.0 / 60.0, ecfg)
+            fetch(estate)
+            exact_sps = max(exact_sps, 4 / (time.perf_counter() - t0))
+            ecfg = overflow_autotune(
+                ecfg, int(overflow_count(estate.pos, ecfg)))
+        exact_exact = (int(overflow_count(estate.pos, ecfg))
+                       <= ecfg.overflow_cap)
+
     # Exact-fidelity physical config (always measured; the cache makes the
     # revisit cheap).  4 autotuned warmup steps let the overflow tier lock
     # in before timing, exactly like the demo's auto-tier cadence.
@@ -217,6 +242,9 @@ def main():
                 "interactive_fps": round(interactive_fps, 3),
                 "overflow_frac": round(overflow_frac, 4),
                 "overflow_exact": overflow_exact,
+                "exact_steps_per_sec": round(exact_sps, 3),
+                "exact_overflow_cap": ecfg.overflow_cap,
+                "exact_overflow_exact": exact_exact,
                 "physical_steps_per_sec": round(phys_sps, 3),
                 "physical_num_particles": cfg_phys.num_particles,
                 "physical_overflow_exact": phys_exact,
